@@ -1,0 +1,221 @@
+"""Statistical kernels: Fisher-z, G-test mutual information, BH-FDR, partial
+correlation.
+
+TPU-native re-design of the reference's numeric layer (reference:
+src/statfuns.jl).  The array-heavy pieces (contingency tables, correlation
+moments) are produced by matmul kernels in ops/contingency.py and
+ops/univariate.py; the functions here turn those aggregates into test
+statistics.  Every statistic function is written backend-agnostic (``xp`` is
+either numpy or jax.numpy), so the exact same formula runs
+
+- on host in float64 for parity-critical p-values (the reference computes all
+  stats/p-values in Float64, reference src/types.jl:140-145), and
+- on device in float32 inside fully fused jitted pipelines for the
+  benchmark/large-scale path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.special import erfc as _erfc, gammaincc as _gammaincc
+
+import jax.numpy as jnp
+import jax.scipy.special as jsp
+
+
+# ---------------------------------------------------------------------------
+# Fisher-z (continuous tests)
+# ---------------------------------------------------------------------------
+
+def fisher_z_transform(p, n, len_z, xp=np):
+    """z-statistic of a (partial) correlation (reference: src/statfuns.jl:3-11)."""
+    sample_factor = xp.asarray(n - len_z - 3, dtype=xp.float64 if xp is np else None)
+    p = xp.asarray(p)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = (xp.sqrt(xp.maximum(sample_factor, 0)) / 2.0) * xp.log((1.0 + p) / (1.0 - p))
+    return xp.where(sample_factor > 0, z, 0.0)
+
+
+def fz_pval(stat, n, len_z, xp=np):
+    """Two-sided normal p-value of the Fisher-z statistic (reference:
+    src/statfuns.jl:13-17).  ccdf(Normal(), |z|)*2 == erfc(|z|/sqrt(2))."""
+    fz_stat = fisher_z_transform(stat, n, len_z, xp=xp)
+    erfc = _erfc if xp is np else jsp.erfc
+    return erfc(xp.abs(fz_stat) / np.sqrt(2.0))
+
+
+# ---------------------------------------------------------------------------
+# Mutual information / G-test (discrete tests)
+# ---------------------------------------------------------------------------
+
+def mi_pval(mi, df, n_obs, xp=np):
+    """chi2 p-value of the G statistic 2*MI*n (reference: src/statfuns.jl:157-161).
+    ccdf(Chisq(df), g) == gammaincc(df/2, g/2); df <= 0 -> 1.0."""
+    g_stat = 2.0 * xp.abs(mi) * n_obs
+    df = xp.asarray(df)
+    gammaincc = _gammaincc if xp is np else jsp.gammaincc
+    safe_df = xp.where(df > 0, df, 1)
+    pval = gammaincc(safe_df / 2.0, g_stat / 2.0)
+    return xp.where(df > 0, pval, 1.0)
+
+
+def mi_stats(ctab, ox, oy, signed=True, xp=np):
+    """Batched signed mutual information + adjusted df from stratified
+    contingency tables.
+
+    Vectorized re-expression of the reference's scalar loops (reference:
+    src/statfuns.jl:163-254 ``mutual_information`` and :281-305 ``adjust_df``).
+    The 2-way test is the single-stratum case (S=1); the reference's nz
+    sub-table slicing (src/statfuns.jl:313-323) is expressed by ZEROING the
+    sliced-away cells beforehand and passing the slice offsets ``ox, oy`` in
+    {0,1} (0-based) so the diagonal test ``i == j`` of the SUB-table becomes
+    ``(a - ox) == (b - oy)`` on the full table.
+
+    Args:
+      ctab: (..., L, L, S) contingency counts, float; invalid cells zeroed.
+      ox, oy: (...,) int offsets of the valid region (0 or 1).
+    Returns:
+      (mi_stat, df, n_obs) with shapes (...,), matching reference semantics:
+      mi = (sum_terms)/n_obs with sign from diag-vs-offdiag contributions;
+      df = sum over strata of (nonzero_rows-1)*(nonzero_cols-1) (min 1 each).
+    """
+    ctab = ctab.astype(xp.float64 if xp is np else ctab.dtype)
+    L = ctab.shape[-2]
+    marg_i = ctab.sum(axis=-2)                    # (..., L, S)
+    marg_j = ctab.sum(axis=-3)                    # (..., L, S)
+    marg_k = marg_i.sum(axis=-2)                  # (..., S)
+    n_obs = marg_k.sum(axis=-1)                   # (...,)
+
+    mik = marg_i[..., :, None, :]
+    mjk = marg_j[..., None, :, :]
+    mk = marg_k[..., None, None, :]
+    valid = (ctab != 0) & (mik != 0) & (mjk != 0)
+    denom = xp.where(valid, mik * mjk, 1.0)
+    ratio = xp.where(valid, (mk * ctab) / denom, 1.0)
+    term = xp.where(valid, xp.log(ratio) * ctab, 0.0)
+
+    a_idx = np.arange(L)[:, None, None]           # static; broadcasts over (L, L, S)
+    b_idx = np.arange(L)[None, :, None]
+    a_idx = xp.asarray(a_idx)
+    b_idx = xp.asarray(b_idx)
+    diag = (a_idx - ox[..., None, None, None]) == (b_idx - oy[..., None, None, None])
+
+    mi_pos = xp.where(diag, term, 0.0).sum(axis=(-3, -2, -1))
+    mi_neg = xp.where(diag, 0.0, term).sum(axis=(-3, -2, -1))
+    n_pos = xp.where(diag, ctab, 0.0).sum(axis=(-3, -2, -1))
+    n_neg = n_obs - n_pos
+
+    safe_n = xp.where(n_obs > 0, n_obs, 1.0)
+    mi_stat = (mi_pos + mi_neg) / safe_n
+    if signed:
+        flip = mi_neg * (n_neg / safe_n) > mi_pos * (n_pos / safe_n)
+        mi_stat = xp.where(flip, -mi_stat, mi_stat)
+
+    # adjusted degrees of freedom (reference: src/statfuns.jl:281-305)
+    alx = xp.maximum((marg_i != 0).sum(axis=-2), 1)   # (..., S)
+    aly = xp.maximum((marg_j != 0).sum(axis=-2), 1)
+    df = ((alx - 1) * (aly - 1)).sum(axis=-1)
+
+    return mi_stat, df, n_obs
+
+
+def sufficient_power(levels_x, levels_y, n_obs, hps, levels_z=None, xp=np):
+    """Heuristic power criterion (reference: src/tests.jl:5-6).  Zero level
+    products follow Julia's n/0 == Inf > hps semantics."""
+    cells = levels_x * levels_y * (levels_z if levels_z is not None else 1)
+    cells = xp.asarray(cells, dtype=jnp.float32 if xp is jnp else np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = xp.where(cells > 0, n_obs / xp.where(cells > 0, cells, 1.0), xp.inf)
+    return ratio > hps
+
+
+# ---------------------------------------------------------------------------
+# Partial correlation (recursive DP, matches pcor_rec incl. 1e-5 rounding)
+# ---------------------------------------------------------------------------
+
+def pcor_dp(C, kvec, max_k, xp=np):
+    """Batched recursive partial correlation.
+
+    Evaluates the reference's memoized recursion (reference:
+    src/statfuns.jl:23-75 ``pcor_rec``) as a dense dynamic program: step t
+    conditions every pair among {X, Y, Z_1..Z_k} on Z_t, which is exactly the
+    recursion's prefix structure (Z_k is split off last).  Includes the
+    reference's 5-digit rounding of the numerator and the [-1, 1) clamp at
+    every node, so results agree bit-for-bit in float64.
+
+    Args:
+      C: (..., m, m) correlation submatrices; index 0 = X, 1 = Y, 2.. = Zs
+         (padded columns beyond k are ignored via kvec masking).
+      kvec: (...,) number of conditioning variables per item.
+      max_k: static maximum conditioning-set size.
+    Returns:
+      (...,) pcor(X, Y | Z_1..Z_k).
+    """
+    C = xp.asarray(C)
+    kvec = xp.asarray(kvec)
+    for t in range(max_k):
+        z = t + 2
+        cz = C[..., :, z]                                  # (..., m)
+        num = C - cz[..., :, None] * cz[..., None, :]
+        num = xp.round(num * 1e5) / 1e5
+        dvec = xp.sqrt(xp.maximum(1.0 - cz * cz, 0.0))
+        den = dvec[..., :, None] * dvec[..., None, :]
+        P = xp.where(den == 0.0, 0.0, num / xp.where(den == 0.0, 1.0, den))
+        P = xp.where(P < -1.0, -1.0, P)
+        P = xp.where(P >= 1.0, 1.0, P)
+        C = xp.where((t < kvec)[..., None, None], P, C)
+    return C[..., 0, 1]
+
+
+def pcor_iterative(X, Y, Zs, data):
+    """Direct partial correlation via linear regression (reference:
+    src/statfuns.jl:19-21 using StatsBase.partialcor).  Host-only; used for
+    the recursive_pcor=False cross-check mode."""
+    data = np.asarray(data, dtype=np.float64)
+    x = data[:, X]
+    y = data[:, Y]
+    Z = data[:, list(Zs)]
+    Z1 = np.column_stack([np.ones(len(x)), Z])
+    bx, *_ = np.linalg.lstsq(Z1, x, rcond=None)
+    by, *_ = np.linalg.lstsq(Z1, y, rcond=None)
+    rx = x - Z1 @ bx
+    ry = y - Z1 @ by
+    denom = np.sqrt((rx * rx).sum() * (ry * ry).sum())
+    if denom == 0:
+        return 0.0
+    return float((rx * ry).sum() / denom)
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR
+# ---------------------------------------------------------------------------
+
+def benjamini_hochberg(pvals, alpha=0.01, m=None):
+    """Accelerated BH correction on the significant tail (reference:
+    src/statfuns.jl:326-350).
+
+    Returns a NEW array: entries with raw p < alpha hold the adjusted p-value,
+    all others (including NaN unreliable tests) are NaN.  ``m`` is the number
+    of tests used for correction (may exclude unreliable tests, reference
+    src/tests.jl:521-528)."""
+    p = np.asarray(pvals, dtype=np.float64)
+    out = np.full(p.shape, np.nan)
+    if p.size == 0:
+        return out
+    if m is None:
+        m = p.size
+    with np.errstate(invalid="ignore"):
+        mask = p < alpha                       # NaN compares False
+    idx = np.nonzero(mask)[0]
+    if idx.size == 0:
+        return out
+    order = np.argsort(p[idx], kind="stable")
+    sidx = idx[order]
+    sp = p[sidx]
+    nf = sp.size
+    adj = np.empty(nf)
+    adj[-1] = min(sp[-1] * m / nf, 1.0)
+    for i in range(nf - 2, -1, -1):
+        adj[i] = min(adj[i + 1], sp[i] * m / (i + 1))
+    out[sidx] = adj
+    return out
