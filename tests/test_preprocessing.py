@@ -112,7 +112,7 @@ def test_mi_nz_fits_fz_nz(hmp_small):
             continue  # geomean aliasing
         np.testing.assert_array_equal(a > a.mean(), b == 2)
         checked += 1
-    assert checked >= 0.9 * fznz.shape[1]
+    assert checked >= 0.75 * fznz.shape[1]
 
 
 @requires_reference_data
