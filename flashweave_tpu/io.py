@@ -1,0 +1,369 @@
+"""Data and network I/O.
+
+Format-compatible re-implementation of the reference's I/O layer (reference:
+src/io.jl): delimited OTU tables (TSV/CSV with header/row-id sniffing and
+transposition), BIOM 1.0 JSON and BIOM 2.x HDF5, and network serialization as
+edgelists (with `# header` / `# meta mask` comment lines) and GML, plus the
+detailed `_rejections.tsv` / `_unchecked.tsv` outputs.  JLD2 is a
+Julia-specific format and is not supported (deprecated in the reference,
+src/io.jl:48).
+
+All of this is host-side Python; indices written to disk are 1-based for
+interoperability with reference outputs (internal node ids are 0-based).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import warnings
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .types import FWResult, Graph, HitonState, LGLResult, TestResult
+
+VALID_NET_FORMATS = (".edgelist", ".gml")
+VALID_DATA_FORMATS = (".tsv", ".csv", ".biom")
+VALID_DLM_FORMATS = (".tsv", ".csv")
+
+
+def _ext(path: str) -> str:
+    return os.path.splitext(path)[1]
+
+
+# ---------------------------------------------------------------------------
+# data loading (reference: src/io.jl:29-246)
+# ---------------------------------------------------------------------------
+
+def _parse_cell(c: str):
+    try:
+        return float(c)
+    except ValueError:
+        return c
+
+
+def _is_number(x) -> bool:
+    return isinstance(x, (int, float, np.integer, np.floating))
+
+
+def load_dlm(data_path: str, meta_path: Optional[str] = None,
+             transposed: bool = False, type_data: bool = True):
+    """Delimited loader with row-id sniffing (reference: src/io.jl:155-191)."""
+    sep = "\t" if _ext(data_path) == ".tsv" else ","
+    with open(data_path) as f:
+        rows = [line.rstrip("\n").rstrip("\r").split(sep) for line in f if line.strip()]
+    cells = [[_parse_cell(c) for c in r] for r in rows]
+    if transposed:
+        cells = [list(r) for r in zip(*cells)]
+
+    header_raw = cells[0]
+    data_raw = cells[1:]
+
+    # row-id detection (reference: src/io.jl:151-152)
+    first_col = [r[0] for r in data_raw]
+    has_ids = header_raw[0] == "" or (
+        len(set(map(str, first_col))) == len(first_col)
+        and isinstance(first_col[0], str)
+    )
+    if has_ids:
+        data_raw = [r[1:] for r in data_raw]
+        header_raw = header_raw[1:]
+
+    header = [str(h) for h in header_raw]
+    # numeric IDs loaded as floats read back as "123.0" (reference src/io.jl:177-180)
+    if header and all(h.endswith(".0") for h in header):
+        header = [h[:-2] for h in header]
+
+    if type_data:
+        data = np.array(data_raw, dtype=np.float64)
+    else:
+        data = np.empty((len(data_raw), len(data_raw[0]) if data_raw else 0),
+                        dtype=object)
+        for i, r in enumerate(data_raw):
+            data[i, :] = r
+
+    if meta_path is not None:
+        meta_data, meta_header, _, _ = load_dlm(meta_path, transposed=transposed,
+                                                type_data=False)
+    else:
+        meta_data = meta_header = None
+    return data, header, meta_data, meta_header
+
+
+def load_biom_json(data_path: str):
+    # reference: src/io.jl:194-205
+    with open(data_path) as f:
+        js = json.load(f)
+    if js["matrix_type"] == "sparse":
+        trip = np.array(js["data"])
+        n_obs, n_samples = js["shape"]
+        table = np.zeros((n_obs, n_samples))
+        table[trip[:, 0].astype(int), trip[:, 1].astype(int)] = trip[:, 2]
+        table = table.T
+    else:
+        table = np.array(js["data"], dtype=np.float64).T
+    header = [r["id"] for r in js["rows"]]
+    return table, header
+
+
+def load_biom_hdf5(data_path: str):
+    # reference: src/io.jl:208-225
+    import h5py
+    from scipy.sparse import csc_matrix
+
+    with h5py.File(data_path, "r") as f:
+        m, n = f.attrs["shape"]
+        indptr = f["sample/matrix/indptr"][()]
+        indices = f["sample/matrix/indices"][()]
+        vals = f["sample/matrix/data"][()]
+        header = [
+            h.decode() if isinstance(h, bytes) else str(h)
+            for h in f["observation/ids"][()]
+        ]
+    table = csc_matrix((vals, indices, indptr), shape=(m, n)).toarray().T
+    return np.asarray(table, dtype=np.float64), header
+
+
+def load_biom(data_path: str, meta_path: Optional[str] = None):
+    # reference: src/io.jl:228-246
+    try:
+        data, header = load_biom_hdf5(data_path)
+    except Exception:
+        try:
+            data, header = load_biom_json(data_path)
+        except Exception as e:
+            raise ValueError(
+                f"Error in 'load_biom'. File {data_path} seems not to be valid .biom"
+            ) from e
+    if meta_path is not None:
+        meta_data, meta_header, _, _ = load_dlm(meta_path, type_data=False)
+    else:
+        meta_data = meta_header = None
+    return data, header, meta_data, meta_header
+
+
+def load_data(data_path: str, meta_data_path: Optional[str] = None,
+              transposed: bool = False, **kwargs):
+    """Load an OTU table (+ optional meta table) from '.tsv', '.csv' or
+    '.biom' (reference: src/io.jl:29-59).  Returns
+    (data, header, meta_data, meta_header)."""
+    ext = _ext(data_path)
+    if transposed and ext == ".biom":
+        warnings.warn("'transposed' cannot be used with .biom files")
+    if meta_data_path is not None:
+        mext = _ext(meta_data_path)
+        if mext not in VALID_DLM_FORMATS:
+            raise ValueError(
+                f"{mext} is an invalid meta data format, please provide one "
+                f"of {VALID_DLM_FORMATS}"
+            )
+    if ext in VALID_DLM_FORMATS:
+        return load_dlm(data_path, meta_data_path, transposed=transposed)
+    if ext == ".biom":
+        return load_biom(data_path, meta_data_path)
+    raise ValueError(
+        f"{ext} not a valid input format. Choose one of {VALID_DATA_FORMATS}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# network serialization (reference: src/io.jl:338-482)
+# ---------------------------------------------------------------------------
+
+def write_edgelist(out_path: str, net_result: FWResult) -> None:
+    # reference: src/io.jl:338-358
+    G = net_result.graph
+    header = net_result.variable_ids
+    meta_mask = net_result.meta_variable_mask
+    with open(out_path, "w") as f:
+        f.write("# header\t" + ",".join(header) + "\n")
+        f.write("# meta mask\t" + ",".join(
+            "true" if m else "false" for m in meta_mask) + "\n")
+        for u, v, w in G.edges():
+            e1 = header[u] if header else str(u + 1)
+            e2 = header[v] if header else str(v + 1)
+            f.write(f"{e1}\t{e2}\t{w}\n")
+
+
+def read_edgelist(in_path: str) -> FWResult:
+    # reference: src/io.jl:361-389
+    with open(in_path) as f:
+        header_items = f.readline().rstrip("\n").split("\t")[-1]
+        header = header_items.split(",")
+        inv = {h: i for i, h in enumerate(header)}
+        meta_items = f.readline().rstrip("\n").split("\t")[-1]
+        meta_mask = np.array([x == "true" for x in meta_items.split(",")])
+        G = Graph(len(header))
+        for line in f:
+            items = line.rstrip("\n").split("\t")
+            if len(items) < 3:
+                continue
+            G.add_edge(inv[items[0]], inv[items[1]], float(items[-1]))
+    return FWResult(LGLResult(G), variable_ids=header, meta_variable_mask=meta_mask)
+
+
+def write_gml(out_path: str, net_result: FWResult) -> None:
+    # reference: src/io.jl:392-421 (node ids are 1-based for interop)
+    G = net_result.graph
+    header = net_result.variable_ids
+    meta_mask = net_result.meta_variable_mask
+    with open(out_path, "w") as f:
+        f.write("graph [\n")
+        f.write("\tdirected 0\n")
+        for node in range(G.n_nodes):
+            f.write("\tnode [\n")
+            f.write(f"\t\tid {node + 1}\n")
+            f.write(f'\t\tlabel "{header[node]}"\n')
+            f.write(f"\t\tmv {int(meta_mask[node])}\n")
+            f.write("\t]\n")
+        for u, v, w in G.edges():
+            f.write("\tedge [\n")
+            f.write(f"\t\tsource {u + 1}\n")
+            f.write(f"\t\ttarget {v + 1}\n")
+            f.write(f"\t\tweight {w}\n")
+            f.write("\t]\n")
+        f.write("]\n")
+
+
+def read_gml(in_path: str) -> FWResult:
+    # reference: src/io.jl:443-482
+    node_dict = {}
+    edges = []
+    with open(in_path) as f:
+        lines = [l.strip() for l in f]
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if line.startswith("node") or line.startswith("edge"):
+            fields = []
+            while i < len(lines) and not lines[i].startswith("]"):
+                fields.append(tuple(lines[i].split(None, 1)))
+                i += 1
+            kind = fields[0][0]
+            if kind == "node":
+                node_id = int(fields[1][1])
+                node_dict[node_id] = fields
+            else:
+                src = int(fields[1][1])
+                dst = int(fields[2][1])
+                w = float(fields[3][1])
+                edges.append((src, dst, w))
+        i += 1
+    n_nodes = max(node_dict.keys())
+    header = [""] * n_nodes
+    meta_mask = np.zeros(n_nodes, dtype=bool)
+    for node_id, fields in node_dict.items():
+        header[node_id - 1] = fields[2][1].strip('"')
+        meta_mask[node_id - 1] = bool(int(fields[3][1]))
+    G = Graph(n_nodes)
+    for src, dst, w in edges:
+        G.add_edge(src - 1, dst - 1, w)
+    return FWResult(LGLResult(G), variable_ids=header, meta_variable_mask=meta_mask)
+
+
+def save_rejections(rej_path: str, net_result: FWResult, digits: int = 5) -> None:
+    # reference: src/io.jl:296-318 (8-column schema, 1-based indices)
+    rej_dict = net_result.rejections
+    with open(rej_path, "w") as f:
+        if not rej_dict:
+            f.write("# No rejections found, you may have forgotten to specify "
+                    "'track_rejections' when running FlashWeave")
+            return
+        f.write("\t".join(["Edge", "Rejecting_set", "Stat", "P_value",
+                           "Num_tests", "Perc_tested", "Df", "SuffPower"]) + "\n")
+        for var_A, nbr_dict in rej_dict.items():
+            for var_B, (rej_set, tres, (num_tests, frac)) in nbr_dict.items():
+                items = [
+                    f"{var_A + 1} <-> {var_B + 1}",
+                    ",".join(str(z + 1) for z in rej_set),
+                    str(round(tres.stat, digits)),
+                    str(round(tres.pval, digits)),
+                    str(num_tests),
+                    str(round(frac, digits)),
+                    str(tres.df),
+                    "true" if tres.suff_power else "false",
+                ]
+                f.write("\t".join(items) + "\n")
+
+
+def load_rejections(rej_path: str):
+    # reference: src/io.jl:249-274
+    rej_dict = {}
+    with open(rej_path) as f:
+        first = f.readline()
+        if first.startswith("#"):
+            return rej_dict
+        for line in f:
+            items = line.rstrip("\n").split("\t")
+            var_A, var_B = (int(x) - 1 for x in items[0].split(" <-> "))
+            Zs = tuple(int(z) - 1 for z in items[1].split(","))
+            stat, pval = float(items[2]), float(items[3])
+            n_tests = int(items[4])
+            frac = float(items[5])
+            df = int(items[6])
+            suff = items[7] == "true"
+            rej_dict.setdefault(var_A, {})[var_B] = (
+                Zs, TestResult(stat, pval, df, suff), (n_tests, frac)
+            )
+    return rej_dict
+
+
+def save_unfinished_variable_info(unf_path: str, net_result: FWResult) -> None:
+    # reference: src/io.jl:321-335
+    unf = net_result.unfinished_states
+    with open(unf_path, "w") as f:
+        if not unf:
+            f.write("# No unchecked neighbors")
+            return
+        f.write("Variable\tPhase\tUnchecked_neighbors\n")
+        for var_A, state in unf.items():
+            f.write(
+                f"{var_A + 1}\t{state.phase}\t"
+                + ",".join(str(v + 1) for v in state.unchecked_vars) + "\n"
+            )
+
+
+def load_unfinished_variable_info(unf_path: str):
+    # reference: src/io.jl:277-293
+    unf = {}
+    with open(unf_path) as f:
+        first = f.readline()
+        if first.startswith("#"):
+            return unf
+        for line in f:
+            items = line.rstrip("\n").split("\t")
+            var_A = int(items[0]) - 1
+            phase = items[1][0]
+            unf_vars = [int(v) - 1 for v in items[2].split(",")]
+            unf[var_A] = dict(phase=phase, unchecked_vars=unf_vars)
+    return unf
+
+
+def save_network(net_path: str, net_result: FWResult, detailed: bool = False) -> None:
+    """Save network results ('.edgelist' or '.gml'; reference: src/io.jl:73-91)."""
+    ext = _ext(net_path)
+    if ext == ".edgelist":
+        write_edgelist(net_path, net_result)
+    elif ext == ".gml":
+        write_gml(net_path, net_result)
+    else:
+        raise ValueError(
+            f"{ext} not a valid output format. Choose one of {VALID_NET_FORMATS}"
+        )
+    if detailed:
+        trunk = os.path.splitext(net_path)[0]
+        save_rejections(trunk + "_rejections.tsv", net_result)
+        save_unfinished_variable_info(trunk + "_unchecked.tsv", net_result)
+
+
+def load_network(net_path: str) -> FWResult:
+    """Load network results ('.edgelist' or '.gml'; reference: src/io.jl:101-112)."""
+    ext = _ext(net_path)
+    if ext == ".edgelist":
+        return read_edgelist(net_path)
+    if ext == ".gml":
+        return read_gml(net_path)
+    raise ValueError(
+        f"{ext} not a valid network format. Valid formats are {VALID_NET_FORMATS}"
+    )

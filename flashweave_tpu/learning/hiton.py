@@ -1,0 +1,347 @@
+"""Semi-interleaved HITON-PC per-variable neighborhood search.
+
+Faithful host-side re-expression of the reference's search control flow
+(reference: src/hiton.jl): interleaving phase (univar-p-sorted candidates
+admitted one at a time against the growing accepted set), elimination phase
+(each accepted variable re-tested against the others), whitelist/blacklist
+short-circuits, time-limit checkpointing into resumable HitonStates, and the
+fast_elim / no_red_tests heuristics.
+
+TPU-first divergence: the search logic is a Python GENERATOR per target
+variable that yields fixed-shape batched test requests; a scheduler
+(learning/scheduler.py) advances many targets per round and dispatches their
+requests as single device batches (ops/condtests.py).  The per-pair
+early-exit subset loop (reference src/tests.jl:281-346) becomes "evaluate a
+chunk of subsets in one batch, then scan host-side in enumeration order" --
+identical accept/reject decisions and reported statistics, with wasted
+subset evaluations traded for MXU throughput.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+import warnings
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from ..types import HitonState, NbrStatDict, RejDict, TestResult
+
+# subsets evaluated per device round for one (target, candidate) pair
+SUBSET_CHUNK = 1024
+
+NAN = float("nan")
+
+
+def issig(res: TestResult, alpha: float) -> bool:
+    # reference: src/tests.jl:1-3 (NaN pval compares False)
+    return res.pval < alpha and res.suff_power
+
+
+@dataclass
+class HitonConfig:
+    test_name: str
+    max_k: int = 3
+    alpha: float = 0.01
+    hps: int = 5
+    n_obs_min: int = 0
+    max_tests: int = int(10e6)
+    fast_elim: bool = True
+    no_red_tests: bool = True
+    weight_type: str = "cond_stat"
+    time_limit: float = 0.0
+    track_rejections: bool = False
+    debug: int = 0
+
+    @property
+    def discrete(self) -> bool:
+        return self.test_name.startswith("mi")
+
+    @property
+    def nz(self) -> bool:
+        return self.test_name.endswith("_nz")
+
+
+class SearchControl:
+    """Shared stop signal checked between candidates (the reference's
+    time_limit checkpoint, src/hiton.jl:143-146, plus the global convergence
+    freeze of the interleaved scheduler, src/interleaved.jl:119-124)."""
+
+    def __init__(self):
+        self.converged = False
+
+    def should_stop(self, start_time: float, time_limit: float) -> bool:
+        from ..utils.misc import stop_reached
+
+        return self.converged or stop_reached(start_time, time_limit)
+
+
+def _empty_state(phase="F") -> HitonState:
+    return HitonState(phase, {}, {}, [], {})
+
+
+# ---------------------------------------------------------------------------
+# subset enumeration + early-exit scan (reference: src/tests.jl:281-346)
+# ---------------------------------------------------------------------------
+
+def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
+                     cfg: HitonConfig, engine):
+    """Generator evaluating conditioning subsets of Z_total, largest first,
+    early-exiting on the first non-significant result.
+
+    Yields batched device requests; returns
+    (test_result, lowest_sig_Zs, num_tests, frac_tests)."""
+    if not Z_total:
+        return TestResult(NAN, NAN, -1, True), (-1,), -1, NAN
+
+    lowest = TestResult(0.0, 0.0, 0, True)
+    lowest_Zs: Tuple[int, ...] = ()
+    num_tests = 0
+    num_tests_total = 0
+
+    mcor = None
+    mcor_nobs = None
+    positions = None
+    if not cfg.discrete:
+        if cfg.nz:
+            # per-pair masked correlations over [X, Y, Z_total...]
+            # (reference: src/tests.jl:293-307 cor_subset!)
+            if engine.recursive_pcor:
+                var_list = [T, cand] + list(Z_total)
+                mcor, mcor_nobs = yield ("mcor", (T, cand), var_list)
+                positions = {v: i for i, v in enumerate(var_list)}
+            else:
+                mcor_nobs = engine.nz_pair_count(T, cand)
+            if cfg.n_obs_min > mcor_nobs:
+                return TestResult(0.0, 1.0, 0, False), (), num_tests, 0.0
+        else:
+            mcor = engine.cor_mat
+            mcor_nobs = engine.n
+
+    max_k = cfg.max_k
+    for subset_size in range(max_k, 0, -1):
+        n_combos = math.comb(len(Z_total), subset_size)
+        num_tests_total += n_combos
+        combo_iter = itertools.combinations(Z_total, subset_size)
+        while True:
+            chunk = list(itertools.islice(combo_iter, SUBSET_CHUNK))
+            if not chunk:
+                break
+            B = len(chunk)
+            kvec = np.full(B, subset_size, np.int32)
+            Zarr = np.zeros((B, max_k), np.int32)
+            for i, Zs in enumerate(chunk):
+                Zarr[i, :subset_size] = Zs
+            if cfg.discrete:
+                results = yield (
+                    "mi",
+                    np.full(B, T, np.int32),
+                    np.full(B, cand, np.int32),
+                    Zarr,
+                    kvec,
+                )
+            elif not engine.recursive_pcor:
+                results = engine.fz_tests_iterative(T, cand, chunk)
+            else:
+                if positions is None:
+                    pos_X = np.full(B, T)
+                    pos_Y = np.full(B, cand)
+                    pos_Z = Zarr
+                else:
+                    pos_X = np.full(B, positions[T])
+                    pos_Y = np.full(B, positions[cand])
+                    pos_Z = np.array(
+                        [[positions.get(int(v), 0) for v in row] for row in Zarr]
+                    )
+                results = engine.fz_tests_from_cor(
+                    mcor, pos_X, pos_Y, pos_Z, kvec, mcor_nobs
+                )
+            for Zs, res in zip(chunk, results):
+                num_tests += 1
+                if (not issig(res, cfg.alpha)) or (
+                    0 < cfg.max_tests <= num_tests
+                ):
+                    for rem in range(subset_size - 1, 0, -1):
+                        num_tests_total += math.comb(len(Z_total), rem)
+                    frac = num_tests / num_tests_total
+                    if 0 < cfg.max_tests <= num_tests:
+                        warnings.warn(
+                            f"Maximum number of tests for variable pair {T} / "
+                            f"{cand} at {num_tests} out of {num_tests_total} "
+                            f"tests (fraction: {round(frac, 3)}, size of Z: "
+                            f"{len(Z_total)})."
+                        )
+                    return res, tuple(Zs), num_tests, frac
+                elif res.pval >= lowest.pval or np.isnan(lowest.pval):
+                    lowest = res
+                    lowest_Zs = tuple(Zs)
+
+    return lowest, lowest_Zs, num_tests, num_tests / num_tests_total
+
+
+# ---------------------------------------------------------------------------
+# phase backend (reference: src/hiton.jl:109-149)
+# ---------------------------------------------------------------------------
+
+def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
+                  phase: str,
+                  prev_accepted_dict: Optional[NbrStatDict],
+                  candidates_unchecked: List[int],
+                  support_dict: NbrStatDict,
+                  whitelist, blacklist: Set[int],
+                  rej_dict: RejDict,
+                  control: SearchControl, start_time: float):
+    """One HITON phase ('I' interleaving / 'E' elimination).  Returns
+    (accepted_dict, candidates_unchecked)."""
+    if prev_accepted_dict:
+        accepted_dict = prev_accepted_dict
+        candidates = list(candidates_unchecked)
+    else:
+        accepted_dict = {}
+
+    accepted: List[int] = list(candidates) if phase == "E" else []
+
+    for ci, cand in enumerate(candidates):
+        in_list = False
+        # whitelist feed-forward (reference: src/hiton.jl:20-38)
+        if whitelist is not None and cand in whitelist:
+            accepted.append(cand)
+            accepted_dict[cand] = (NAN, NAN)
+            in_list = True
+        if blacklist and cand in blacklist:
+            in_list = True
+
+        if not in_list:
+            if phase == "E":
+                accepted = [a for a in accepted if a != cand]
+            res, lowest_Zs, num_tests, frac = yield from test_subsets_gen(
+                T, cand, accepted, cfg, engine
+            )
+            # update_sig_result! (reference: src/hiton.jl:53-78)
+            if not accepted:
+                accepted.append(cand)
+                accepted_dict[cand] = support_dict[cand]
+            elif issig(res, cfg.alpha):
+                accepted.append(cand)
+                accepted_dict[cand] = (res.stat, res.pval)
+            else:
+                if phase == "E" and not cfg.fast_elim:
+                    accepted.append(cand)
+                if cfg.track_rejections:
+                    rej_dict[cand] = (lowest_Zs, res, (num_tests, frac))
+
+        if control.should_stop(start_time, cfg.time_limit) and ci < len(candidates) - 1:
+            return accepted_dict, candidates[ci + 1:]
+    return accepted_dict, []
+
+
+# ---------------------------------------------------------------------------
+# full per-target search (reference: src/hiton.jl:283-400)
+# ---------------------------------------------------------------------------
+
+def si_hiton_pc_gen(T: int, cfg: HitonConfig, engine,
+                    univar_nbrs: NbrStatDict,
+                    prev_state: Optional[HitonState] = None,
+                    whitelist=None, blacklist: Optional[Set[int]] = None,
+                    control: Optional[SearchControl] = None,
+                    start_time: float = 0.0):
+    """Generator running the full HITON-PC search for target T.  Yields
+    batched test requests and returns the final (or partial) HitonState."""
+    import time as _time
+
+    if prev_state is None:
+        prev_state = HitonState("S", {}, {}, [], {})
+    if control is None:
+        control = SearchControl()
+    blacklist = blacklist or set()
+    rej_dict: RejDict = {}
+
+    if cfg.discrete and engine.levels[T] < 2:
+        return _empty_state()
+
+    if start_time == 0.0 and cfg.time_limit > 0.0:
+        start_time = _time.time()
+
+    if cfg.max_k <= 0:
+        TPC_dict: NbrStatDict = {}
+        PC_dict = univar_nbrs
+        return _make_final_state(prev_state, PC_dict, TPC_dict, rej_dict)
+
+    if prev_state.phase == "C":
+        # global convergence froze this variable (reference: src/hiton.jl:315-322)
+        if prev_state.inter_results:
+            TPC_dict = prev_state.inter_results
+            PC_dict = prev_state.state_results
+        else:
+            TPC_dict, PC_dict = {}, {}
+        return _make_final_state(prev_state, PC_dict, TPC_dict, rej_dict)
+
+    TPC_dict = {}
+    if prev_state.phase in ("I", "S"):
+        # prepare interleaving (reference: src/hiton.jl:199-220)
+        if prev_state.phase == "I":
+            prev_TPC = prev_state.state_results
+            candidates_unchecked = list(prev_state.unchecked_vars)
+            candidates: List[int] = []
+            if cfg.track_rejections:
+                rej_dict = prev_state.state_rejections
+        else:
+            pairs = sorted(
+                ((c, pv[1]) for c, pv in univar_nbrs.items() if pv[1] < cfg.alpha),
+                key=lambda x: x[1],
+            )
+            candidates = [c for c, _ in pairs]
+            candidates_unchecked = []
+            prev_TPC = {}
+        if not candidates and not candidates_unchecked and not prev_TPC:
+            return _empty_state()
+
+        TPC_dict, candidates_unchecked = yield from phase_backend(
+            T, candidates, cfg, engine, "I", prev_TPC, candidates_unchecked,
+            univar_nbrs, whitelist, blacklist, rej_dict, control, start_time,
+        )
+        if candidates_unchecked:
+            return HitonState("I", TPC_dict, {}, candidates_unchecked, rej_dict)
+
+    # prepare elimination (reference: src/hiton.jl:223-246)
+    if prev_state.phase == "E":
+        prev_PC = prev_state.state_results
+        if cfg.no_red_tests or cfg.fast_elim:
+            TPC_dict = prev_state.inter_results
+        PC_unchecked = list(prev_state.unchecked_vars)
+        PC_candidates = list(prev_PC.keys()) + PC_unchecked
+        if cfg.track_rejections:
+            rej_dict = prev_state.state_rejections
+    else:
+        prev_PC = {}
+        PC_unchecked = []
+        PC_candidates = list(TPC_dict.keys())
+
+    PC_dict, TPC_unchecked = yield from phase_backend(
+        T, PC_candidates, cfg, engine, "E", prev_PC, PC_unchecked,
+        TPC_dict, whitelist, blacklist, rej_dict, control, start_time,
+    )
+    if TPC_unchecked:
+        return HitonState("E", PC_dict, TPC_dict, TPC_unchecked, rej_dict)
+
+    # reconcile weakest-significance weights (reference: src/hiton.jl:249-256)
+    if cfg.no_red_tests or cfg.fast_elim:
+        for nbr in PC_dict:
+            if nbr in TPC_dict and (
+                TPC_dict[nbr][1] > PC_dict[nbr][1] or np.isnan(PC_dict[nbr][1])
+            ):
+                PC_dict[nbr] = TPC_dict[nbr]
+
+    return _make_final_state(prev_state, PC_dict, TPC_dict, rej_dict)
+
+
+def _make_final_state(prev_state: HitonState, PC_dict, TPC_dict,
+                      rej_dict) -> HitonState:
+    # reference: src/hiton.jl:259-277
+    if prev_state.phase == "C":
+        return HitonState("C", PC_dict, TPC_dict,
+                          list(prev_state.unchecked_vars),
+                          prev_state.state_rejections)
+    return HitonState("F", PC_dict, TPC_dict, [], rej_dict)

@@ -1,0 +1,229 @@
+"""LGL: local-to-global learning driver.
+
+Mirrors the reference's inference driver (reference: src/learning.jl:1-279):
+parameter resolution (auto time_limit / n_obs_min heuristics), the univariate
+stage, the conditional neighborhood search, and weight assembly into the
+final symmetric graph.
+
+Execution modes map the reference's process-parallel options onto the
+TPU scheduler:
+- parallel="single"   : exact sequential reference semantics per target
+                        (still device-batched per conditioning chunk)
+- parallel="single_il"/"multi_il" : round-based batched scheduler with
+                        feed-forward + convergence (learning/scheduler.py);
+                        multi_il additionally shards device batches over the
+                        jax device mesh.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+import warnings
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..ops import univariate as uv
+from ..ops.condtests import CondTestEngine
+from ..types import Graph, HitonState, LGLResult
+from ..utils.misc import (
+    get_levels,
+    get_max_vals,
+    is_zero_adjusted,
+    isdiscrete,
+    iscontinuous,
+    make_symmetric_graph,
+    make_weights,
+    maxweight,
+)
+from .hiton import HitonConfig
+from .scheduler import RoundScheduler
+
+VALID_PARALLEL = ("single", "single_il", "multi_il")
+
+
+def prepare_lgl(data, test_name, time_limit, parallel, feed_forward, max_k,
+                n_obs_min, hps, dense_cor, verbose):
+    """Parameter resolution heuristics (reference: src/learning.jl:1-81)."""
+    if time_limit == -1.0:
+        if parallel == "multi_il" and max_k > 0:
+            time_limit = float(round(math.log2(data.shape[1])))
+            if verbose:
+                print(f"Setting 'time_limit' to {time_limit} s.")
+        else:
+            time_limit = 0.0
+    if time_limit != 0.0 and not parallel.endswith("_il"):
+        warnings.warn("Using time_limit without interleaved parallelism is not advised.")
+
+    levels = max_vals = None
+    cor_mat = None
+    if isdiscrete(test_name):
+        if verbose:
+            print("Computing levels")
+        levels = get_levels(data)
+        max_vals = get_max_vals(data)
+    else:
+        if dense_cor and not is_zero_adjusted(test_name):
+            cor_mat = np.asarray(uv.cor_matrix(np.asarray(data)), dtype=np.float64)
+
+    if n_obs_min < 0:
+        # reference quirk: `n_obs_min < 0 & is_zero_adjusted(test_name)`
+        # parses as `n_obs_min < (0 & ...)` == `n_obs_min < 0`, so the auto
+        # threshold applies to ALL tests (reference: src/learning.jl:51-64)
+        if isdiscrete(test_name):
+            max_level = int(np.max(levels))
+            n_strata = min(max_level ** max_k, 8)
+            n_obs_min = hps * 2 * 2 * n_strata
+        else:
+            n_obs_min = 20
+        if verbose:
+            print(f"Automatically setting 'n_obs_min' to {n_obs_min} for enhanced reliability")
+
+    if n_obs_min > data.shape[0]:
+        msg = (
+            "Dataset has an insufficient number of observations, need at "
+            f"least {n_obs_min} ('n_obs_min') for reliable tests"
+        )
+        if max_k > 0:
+            msg += (". Try using a smaller 'max_k' parameter (at the cost of "
+                    "higher numbers of indirect associations).")
+        raise ValueError(msg)
+
+    if verbose and is_zero_adjusted(test_name):
+        n_unrel = int((np.count_nonzero(np.asarray(data), axis=0) < n_obs_min).sum())
+        if n_unrel > 0:
+            warnings.warn(
+                f"{n_unrel} variables have insufficient observations "
+                f"(< {n_obs_min} ('n_obs_min')) and will not be used for "
+                "interaction prediction"
+            )
+
+    return levels, max_vals, cor_mat, time_limit, n_obs_min
+
+
+def LGL(
+    data,
+    test_name: str = "mi",
+    max_k: int = 3,
+    alpha: float = 0.01,
+    hps: int = 5,
+    n_obs_min: int = -1,
+    max_tests: int = int(10e6),
+    convergence_threshold: float = 0.01,
+    FDR: bool = True,
+    parallel: str = "single",
+    fast_elim: bool = True,
+    no_red_tests: bool = True,
+    weight_type: str = "cond_stat",
+    edge_rule: str = "OR",
+    verbose: bool = True,
+    update_interval: float = 30.0,
+    edge_merge_fun=maxweight,
+    tmp_folder: str = "",
+    debug: int = 0,
+    time_limit: float = -1.0,
+    header=None,
+    meta_variable_mask=None,
+    dense_cor: bool = True,
+    recursive_pcor: bool = True,
+    cache_pcor: bool = False,
+    correct_reliable_only: bool = True,
+    feed_forward: bool = True,
+    track_rejections: bool = False,
+    all_univar_nbrs: Optional[Dict] = None,
+    tile: Optional[int] = None,
+    **kwargs,
+) -> LGLResult:
+    """Learn a network via local-to-global HITON-PC (reference:
+    src/learning.jl:203-279)."""
+    if tmp_folder:
+        warnings.warn("tmp_folder currently not implemented")
+    if edge_rule != "OR":
+        warnings.warn(f"edge_rule {edge_rule} not a valid option, setting it to OR")
+        edge_rule = "OR"
+    if parallel not in VALID_PARALLEL:
+        raise ValueError(f"'{parallel}' not a valid parallel mode")
+
+    data = np.asarray(data)
+    n, p = data.shape
+    levels, max_vals, cor_mat, time_limit, n_obs_min = prepare_lgl(
+        data, test_name, time_limit, parallel, feed_forward, max_k, n_obs_min,
+        hps, dense_cor, verbose,
+    )
+
+    if all_univar_nbrs is None:
+        if verbose:
+            print("Computing univariate associations")
+        all_univar_nbrs = uv.pw_univar_neighbors(
+            data, test_name=test_name, alpha=alpha, hps=hps,
+            n_obs_min=n_obs_min, FDR=FDR, levels=levels, max_vals=max_vals,
+            cor_mat=cor_mat, correct_reliable_only=correct_reliable_only,
+            tile=tile,
+        )
+        if verbose:
+            nbr_nums = [len(v) for v in all_univar_nbrs.values()]
+            print("\nUnivariate degree stats:")
+            print(f"mean degree {np.mean(nbr_nums):.2f}, max {np.max(nbr_nums)}\n")
+            if np.mean(nbr_nums) > p * 0.2:
+                warnings.warn(
+                    "The univariate network is exceptionally dense, "
+                    "computations may be slow."
+                )
+    # fewest univariate neighbors first (reference: src/learning.jl:97-98)
+    target_vars = sorted(all_univar_nbrs.keys(),
+                         key=lambda x: len(all_univar_nbrs[x]))
+
+    rej_dict: Dict[int, dict] = {}
+    unfinished: Dict[int, HitonState] = {}
+
+    if max_k == 0:
+        nbr_dict = all_univar_nbrs
+    else:
+        if verbose:
+            print("\nStarting conditioning search")
+        engine = CondTestEngine(
+            data, test_name, max_k, levels=levels, max_vals=max_vals,
+            cor_mat=cor_mat, hps=hps, n_obs_min=n_obs_min,
+            recursive_pcor=recursive_pcor,
+        )
+        cfg = HitonConfig(
+            test_name=test_name, max_k=max_k, alpha=alpha, hps=hps,
+            n_obs_min=n_obs_min, max_tests=max_tests, fast_elim=fast_elim,
+            no_red_tests=no_red_tests, weight_type=weight_type,
+            time_limit=time_limit, track_rejections=track_rejections,
+            debug=debug,
+        )
+        scheduler = RoundScheduler(
+            engine, cfg, target_vars, all_univar_nbrs,
+            feed_forward=feed_forward,
+            convergence_threshold=(
+                convergence_threshold if parallel.endswith("_il") else 0.0
+            ),
+            update_interval=update_interval, verbose=verbose,
+            sequential=(parallel == "single"),
+        )
+        nbr_states = scheduler.run()
+        nbr_dict = {T: st.state_results for T, st in nbr_states.items()}
+        if time_limit != 0.0 or convergence_threshold != 0.0:
+            for T, st in nbr_states.items():
+                if st.unchecked_vars:
+                    unfinished[T] = st
+        if track_rejections:
+            for T, st in nbr_states.items():
+                if st.state_rejections:
+                    rej_dict[T] = st.state_rejections
+
+    if verbose:
+        print("\nPostprocessing")
+    weights_dict = {
+        T: make_weights(nbr_dict[T], all_univar_nbrs[T], weight_type, test_name)
+        for T in nbr_dict
+    }
+    graph = make_symmetric_graph(
+        weights_dict, edge_rule, edge_merge_fun=edge_merge_fun, max_var=p,
+        header=header,
+    )
+    if verbose:
+        print("Complete")
+    return LGLResult(graph, rej_dict, unfinished)

@@ -1,0 +1,228 @@
+"""Round-based batched scheduler for the HITON searches.
+
+TPU-native replacement for the reference's Distributed master/worker
+interleaved backend (reference: src/interleaved.jl + src/stackchannels.jl).
+Instead of RemoteChannel job queues with LIFO stealing across worker
+processes, ALL target variables advance concurrently in rounds: each round
+collects every active target's pending batch of conditional tests and
+dispatches them as a single fixed-shape device batch (ops/condtests.py).
+
+Preserved semantics:
+- feed-forward: finished targets' neighborhoods whitelist candidates of
+  still-running targets (reference: src/interleaved.jl:124-131).  The
+  whitelist here is LIVE (checked at candidate time) rather than snapshotted
+  at job (re)start -- strictly fresher information.
+- convergence early-stop on the edge-growth rate (reference:
+  src/interleaved.jl:203-230), freezing remaining targets into 'C' states.
+- time-limit checkpointing into resumable HitonStates.
+
+Divergence from the reference (documented): the reference discards a
+phase-'I' checkpoint on resume (src/hiton.jl:329-338 returns an empty
+stopped state because prepare_interleaving_phase hands an empty candidate
+list to the isempty() guard); this implementation resumes from
+unchecked_vars as the checkpoint machinery intends.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence, Set
+
+import numpy as np
+
+from ..types import HitonState, NbrStatDict
+from .hiton import HitonConfig, SearchControl, si_hiton_pc_gen
+
+
+class LiveWhitelist:
+    """Membership view of a target's neighbors among finished targets."""
+
+    def __init__(self, adj: Dict[int, Set[int]], T: int):
+        self.adj = adj
+        self.T = T
+
+    def __contains__(self, cand: int) -> bool:
+        return cand in self.adj.get(self.T, ())
+
+
+class RoundScheduler:
+    def __init__(
+        self,
+        engine,
+        cfg: HitonConfig,
+        target_vars: Sequence[int],
+        all_univar_nbrs: Dict[int, NbrStatDict],
+        feed_forward: bool = True,
+        convergence_threshold: float = 0.01,
+        conv_check_start: float = 0.1,
+        conv_time_step: float = 0.1,
+        update_interval: float = 30.0,
+        verbose: bool = False,
+        sequential: bool = False,
+    ):
+        self.engine = engine
+        self.cfg = cfg
+        self.targets = list(target_vars)
+        self.univar = all_univar_nbrs
+        self.feed_forward = feed_forward
+        self.conv_threshold = convergence_threshold
+        self.conv_check_start = conv_check_start
+        self.conv_time_step = conv_time_step
+        self.update_interval = update_interval
+        self.verbose = verbose
+        self.sequential = sequential
+        self.adj: Dict[int, Set[int]] = {}
+        self.n_edges = 0
+
+    # -- graph tracking (reference: src/interleaved.jl:101-141) -------------
+
+    def _add_edges(self, T: int, nbrs) -> None:
+        for nbr in nbrs:
+            a = self.adj.setdefault(T, set())
+            b = self.adj.setdefault(nbr, set())
+            if nbr not in a:
+                a.add(nbr)
+                b.add(T)
+                self.n_edges += 1
+
+    # -- driving ------------------------------------------------------------
+
+    def run(self) -> Dict[int, HitonState]:
+        control = SearchControl()
+        start_time = time.time()
+        gens = {}
+        for T in self.targets:
+            wl = (
+                LiveWhitelist(self.adj, T)
+                if (self.feed_forward and not self.sequential)
+                else None
+            )
+            gens[T] = si_hiton_pc_gen(
+                T, self.cfg, self.engine, self.univar[T],
+                whitelist=wl, control=control, start_time=start_time,
+            )
+
+        results: Dict[int, HitonState] = {}
+        if self.sequential:
+            for T in self.targets:
+                results[T] = self._drive_single(gens[T])
+                self._add_edges(T, results[T].state_results.keys())
+            return results
+
+        # round-based concurrent execution
+        active = {T: gens[T] for T in self.targets}
+        pending: Dict[int, tuple] = {}
+        responses: Dict[int, object] = {}
+        jobs_total = len(self.targets)
+        check_convergence = False
+        converged = False
+        last_conv_time = 0.0
+        last_conv_edges = 0
+        last_update = start_time
+
+        while active:
+            # advance every active generator by one request
+            for T in list(active.keys()):
+                gen = active[T]
+                try:
+                    if T in pending:
+                        continue  # waiting for a response dispatched below
+                    req = gen.send(responses.pop(T, None))
+                    pending[T] = req
+                except StopIteration as stop:
+                    state = stop.value
+                    if converged and state.phase not in ("F", "C"):
+                        state = HitonState(
+                            "C", state.state_results, state.inter_results,
+                            state.unchecked_vars, state.state_rejections,
+                        )
+                    results[T] = state
+                    self._add_edges(T, state.state_results.keys())
+                    del active[T]
+
+            if pending:
+                self._dispatch(pending, responses)
+                pending.clear()
+
+            now = time.time()
+            if self.verbose and now - last_update > self.update_interval:
+                done = jobs_total - len(active)
+                print(
+                    f"Time passed: {int(round(now - start_time))}. "
+                    f"Finished nodes: {done}. Remaining nodes: {len(active)}"
+                )
+                last_update = now
+
+            # convergence check (reference: src/interleaved.jl:203-230)
+            if self.conv_threshold != 0.0 and not converged:
+                remaining_frac = len(active) / max(jobs_total, 1)
+                if not check_convergence and remaining_frac <= self.conv_check_start:
+                    check_convergence = True
+                    last_conv_time = now - start_time
+                    last_conv_edges = self.n_edges
+                    if self.verbose:
+                        print(f"Starting convergence checks at {last_conv_edges} edges.")
+                elif check_convergence and last_conv_time > 0:
+                    delta_time = (now - start_time - last_conv_time) / last_conv_time
+                    if delta_time > self.conv_time_step:
+                        delta_edges = (
+                            (self.n_edges - last_conv_edges) / last_conv_edges
+                            if last_conv_edges
+                            else 0.0
+                        )
+                        conv_level = delta_edges / delta_time
+                        if conv_level < self.conv_threshold:
+                            converged = True
+                            control.converged = True
+                            if self.verbose:
+                                print("\tCONVERGED! Finishing current loads.")
+                        last_conv_time = now - start_time
+                        last_conv_edges = self.n_edges
+
+        return results
+
+    def _drive_single(self, gen) -> HitonState:
+        """Run one generator to completion, dispatching its requests solo
+        (exact reference 'single' semantics, still device-batched per chunk)."""
+        resp = None
+        while True:
+            try:
+                req = gen.send(resp)
+            except StopIteration as stop:
+                return stop.value
+            resp = self._dispatch_one(req)
+
+    # -- request dispatch ----------------------------------------------------
+
+    def _dispatch_one(self, req):
+        kind = req[0]
+        if kind == "mi":
+            _, X, Y, Zs, kvec = req
+            return self.engine.mi_tests(X, Y, Zs, kvec)
+        if kind == "mcor":
+            _, pair, var_list = req
+            return self.engine.masked_cor([pair], [var_list])[0]
+        raise ValueError(f"unknown request kind {kind}")
+
+    def _dispatch(self, pending: Dict[int, tuple], responses: Dict[int, object]):
+        """Batch same-kind requests from all targets into single device calls."""
+        mi_items = [(T, r) for T, r in pending.items() if r[0] == "mi"]
+        mcor_items = [(T, r) for T, r in pending.items() if r[0] == "mcor"]
+
+        if mi_items:
+            Xs = np.concatenate([r[1] for _, r in mi_items])
+            Ys = np.concatenate([r[2] for _, r in mi_items])
+            Zs = np.concatenate([r[3] for _, r in mi_items])
+            ks = np.concatenate([r[4] for _, r in mi_items])
+            all_results = self.engine.mi_tests(Xs, Ys, Zs, ks)
+            off = 0
+            for T, r in mi_items:
+                b = len(r[1])
+                responses[T] = all_results[off: off + b]
+                off += b
+        if mcor_items:
+            pairs = [r[1] for _, r in mcor_items]
+            var_lists = [r[2] for _, r in mcor_items]
+            outs = self.engine.masked_cor(pairs, var_lists)
+            for (T, _), out in zip(mcor_items, outs):
+                responses[T] = out

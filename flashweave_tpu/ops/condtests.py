@@ -1,0 +1,259 @@
+"""Batched conditional independence tests.
+
+TPU-native replacement for the reference's per-subset scalar conditional
+tests (reference: src/tests.jl:184-276).  The HITON host loop
+(learning/hiton.py) enumerates conditioning subsets and ships them here as
+flat fixed-shape batches:
+
+- mi / mi_nz : stratified contingency tables via batched one-hot matmuls
+  (ops/contingency.py), then vectorized G-test statistics.  The reference's
+  dense-path view trimming (rows with X==0 / Y==0 removed for 3-level
+  variables, reference src/hiton.jl:41-50 + src/tests.jl:193-208) becomes a
+  row mask folded into the one-hot product.
+- fz         : gathers from the precomputed global correlation matrix + the
+  pcor recursion DP (ops/statfuns.pcor_dp) -- no device work per test.
+- fz_nz      : per-pair masked correlation sub-matrices over rows where both
+  target variables are nonzero (reference: src/statfuns.jl:138-155
+  ``cor_subset!``), computed as batched masked-moment matmuls, then the same
+  pcor DP on host in float64.
+
+Device kernels are jit-cached per (batch-bucket, shape) so the host loop pays
+compilation once per bucket.  p-values are finished on host in float64.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import statfuns as sf
+from .contingency import cond_ctab_batch
+from ..types import TestResult
+
+# batch-size buckets bound the jit cache (requests are padded up)
+BATCH_BUCKETS = (64, 256, 1024, 4096)
+
+
+def _bucket(b: int) -> int:
+    for s in BATCH_BUCKETS:
+        if b <= s:
+            return s
+    return ((b + BATCH_BUCKETS[-1] - 1) // BATCH_BUCKETS[-1]) * BATCH_BUCKETS[-1]
+
+
+# ---------------------------------------------------------------------------
+# discrete conditional kernel
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("B", "max_k", "L", "S", "nz"))
+def _mi_cond_kernel(data, levels, maxv, X, Y, Zs, kvec, hps, B, max_k, L, S, nz):
+    """(stat, df, n_obs, suff, levels_z) for B conditional MI tests.
+
+    Mirrors the reference's dense MiTestCond test (reference:
+    src/tests.jl:184-229): view trimming -> contingency -> nz slicing ->
+    power check n/(lx*ly*lz) > hps -> signed MI + adjusted df.
+    """
+    x = jnp.take(data, X, axis=1)                     # (n, B)
+    y = jnp.take(data, Y, axis=1)
+    if nz:
+        ox = (jnp.take(maxv, X) > 1).astype(jnp.int32)    # (B,)
+        oy = (jnp.take(maxv, Y) > 1).astype(jnp.int32)
+        mask = ((x != 0) | (ox[None, :] == 0)) & ((y != 0) | (oy[None, :] == 0))
+    else:
+        ox = jnp.zeros(B, jnp.int32)
+        oy = jnp.zeros(B, jnp.int32)
+        mask = jnp.ones(x.shape, bool)
+    ctab = cond_ctab_batch(data, X, Y, Zs, kvec, mask.astype(data.dtype),
+                           B, max_k, L, S)
+    stat, df, n_obs = sf.mi_stats(ctab, ox, oy, xp=jnp)
+    levels_z = (ctab.sum(axis=(1, 2)) > 0).sum(axis=-1)   # occupied strata
+    if nz:
+        lx_eff = (L - ox).astype(data.dtype)
+        ly_eff = (L - oy).astype(data.dtype)
+    else:
+        lx_eff = jnp.take(levels, X).astype(data.dtype)
+        ly_eff = jnp.take(levels, Y).astype(data.dtype)
+    cells = lx_eff * ly_eff * levels_z.astype(data.dtype)
+    suff = jnp.where(cells > 0, n_obs / jnp.where(cells > 0, cells, 1.0) > hps,
+                     True)
+    stat = jnp.where(suff, stat, 0.0)
+    df = jnp.where(suff, df, 0)
+    return stat, df, n_obs, suff
+
+
+# ---------------------------------------------------------------------------
+# masked correlation kernel (fz_nz)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("B", "m"))
+def _masked_cor_kernel(data, X, Y, var_idx, B, m):
+    """Correlation sub-matrices over rows where X and Y are both nonzero.
+
+    var_idx: (B, m) column sets [X, Y, Z_total...] (padded entries repeat X).
+    Returns (C, n_obs): (B, m, m) correlations (NaN -> 0, reference
+    src/statfuns.jl:150) and (B,) joint nonzero row counts.
+    """
+    x = jnp.take(data, X, axis=1)
+    y = jnp.take(data, Y, axis=1)
+    mask = ((x != 0) & (y != 0)).astype(data.dtype)    # (n, B)
+    V = jnp.take(data, var_idx.reshape(-1), axis=1).reshape(
+        data.shape[0], B, m
+    )
+    Vm = V * mask[..., None]
+    n_obs = mask.sum(axis=0)                           # (B,)
+    S1 = Vm.sum(axis=0)                                # (B, m)
+    G = jnp.einsum("nbi,nbj->bij", Vm, Vm, preferred_element_type=data.dtype)
+    safe_n = jnp.where(n_obs > 0, n_obs, 1.0)
+    mu = S1 / safe_n[:, None]
+    cov = G - safe_n[:, None, None] * mu[:, :, None] * mu[:, None, :]
+    d = jnp.sqrt(jnp.maximum(jnp.einsum("bii->bi", cov), 0.0))
+    denom = d[:, :, None] * d[:, None, :]
+    C = jnp.where(denom > 0, cov / jnp.where(denom > 0, denom, 1.0), 0.0)
+    return C, n_obs
+
+
+# ---------------------------------------------------------------------------
+# host-facing engine
+# ---------------------------------------------------------------------------
+
+class CondTestEngine:
+    """Holds device-resident data and evaluates flat batches of conditional
+    tests, returning reference-semantics TestResults (host float64 p-values)."""
+
+    def __init__(self, data: np.ndarray, test_name: str, max_k: int,
+                 levels: Optional[np.ndarray] = None,
+                 max_vals: Optional[np.ndarray] = None,
+                 cor_mat: Optional[np.ndarray] = None,
+                 hps: int = 5, n_obs_min: int = 0,
+                 recursive_pcor: bool = True):
+        self.test_name = test_name
+        self.max_k = max_k
+        self.hps = hps
+        self.n_obs_min = n_obs_min
+        self.nz = test_name.endswith("_nz")
+        self.discrete = test_name.startswith("mi")
+        self.recursive_pcor = recursive_pcor
+        self.n, self.p = data.shape
+        self.data_np = np.asarray(data)
+        self.levels = None
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.data_j = jnp.asarray(data, dtype=dtype)
+        if self.discrete:
+            self.levels = np.asarray(levels, dtype=np.int32)
+            self.max_vals = np.asarray(max_vals, dtype=np.int32)
+            self.levels_j = jnp.asarray(self.levels)
+            self.maxv_j = jnp.asarray(self.max_vals)
+            self.L = int(self.max_vals.max()) + 1
+            self.S = self.L ** max_k if max_k > 0 else 1
+        self.cor_mat = cor_mat  # host float64 (fz mode)
+        # per-(T,C) masked correlation cache for fz_nz, cleared per pair
+        self._mcor_cache = {}
+
+    # -- discrete -----------------------------------------------------------
+
+    def mi_tests(self, X: np.ndarray, Y: np.ndarray, Zs: np.ndarray,
+                 kvec: np.ndarray) -> List[TestResult]:
+        """Evaluate B conditional MI tests; Zs shape (B, max_k), padded with 0."""
+        B = len(X)
+        Bp = _bucket(B)
+        Xp = np.zeros(Bp, np.int32); Xp[:B] = X
+        Yp = np.zeros(Bp, np.int32); Yp[:B] = Y
+        Zp = np.zeros((Bp, self.max_k), np.int32); Zp[:B] = Zs
+        kp = np.zeros(Bp, np.int32); kp[:B] = kvec
+        stat, df, n_obs, suff = _mi_cond_kernel(
+            self.data_j, self.levels_j, self.maxv_j,
+            jnp.asarray(Xp), jnp.asarray(Yp), jnp.asarray(Zp), jnp.asarray(kp),
+            float(self.hps), Bp, self.max_k, self.L, self.S, self.nz,
+        )
+        stat = np.asarray(stat, np.float64)[:B]
+        df = np.asarray(df, np.int64)[:B]
+        n_obs = np.asarray(n_obs, np.float64)[:B]
+        suff = np.asarray(suff)[:B]
+        pval = np.where(suff, sf.mi_pval(stat, df, n_obs), 1.0)
+        return [
+            TestResult(float(stat[i]), float(pval[i]), int(df[i]), bool(suff[i]))
+            for i in range(B)
+        ]
+
+    # -- continuous ---------------------------------------------------------
+
+    def masked_cor(self, pairs: Sequence[Tuple[int, int]],
+                   var_lists: Sequence[Sequence[int]]):
+        """Masked correlation matrices for (T, C) pairs over their variable
+        subsets [T, C, Z_total...].  Returns list of (C_sub f64, n_obs)."""
+        B = len(pairs)
+        m = _bucket_m(max(len(v) for v in var_lists))
+        Bp = _bucket(B)
+        X = np.zeros(Bp, np.int32)
+        Y = np.zeros(Bp, np.int32)
+        VI = np.zeros((Bp, m), np.int32)
+        for i, ((x, y), vl) in enumerate(zip(pairs, var_lists)):
+            X[i], Y[i] = x, y
+            VI[i, : len(vl)] = vl
+            VI[i, len(vl):] = x  # pad with X; padded entries never gathered
+        C, n_obs = _masked_cor_kernel(
+            self.data_j, jnp.asarray(X), jnp.asarray(Y), jnp.asarray(VI), Bp, m
+        )
+        C = np.asarray(C, np.float64)
+        n_obs = np.asarray(n_obs, np.float64)
+        return [(C[i], float(n_obs[i])) for i in range(B)]
+
+    def fz_tests_from_cor(self, C: np.ndarray, pos_X: np.ndarray,
+                          pos_Y: np.ndarray, pos_Zs: np.ndarray,
+                          kvec: np.ndarray, n_obs: float) -> List[TestResult]:
+        """Partial-correlation tests from a single correlation matrix C
+        (global for fz, per-pair masked for fz_nz).  Positions index into C.
+
+        Mirrors reference src/tests.jl:250-265: suff_power is the
+        n_obs >= n_obs_min check; pval uses len_z = 0.
+        """
+        B = len(pos_X)
+        if n_obs < self.n_obs_min:
+            return [TestResult(0.0, 1.0, 0, False)] * B
+        sub = np.empty((B, self.max_k + 2, self.max_k + 2))
+        for i in range(B):
+            idx = [pos_X[i], pos_Y[i]] + [
+                pos_Zs[i][j] if j < kvec[i] else pos_X[i]
+                for j in range(self.max_k)
+            ]
+            sub[i] = C[np.ix_(idx, idx)]
+        stat = sf.pcor_dp(sub, np.asarray(kvec), self.max_k, xp=np)
+        pval = sf.fz_pval(stat, n_obs, 0)
+        return [
+            TestResult(float(stat[i]), float(pval[i]), 0, True) for i in range(B)
+        ]
+
+    def nz_pair_count(self, X: int, Y: int) -> int:
+        """Rows where both variables are nonzero (the doubly-trimmed view size)."""
+        d = self.data_np
+        return int(((d[:, X] != 0) & (d[:, Y] != 0)).sum())
+
+    def fz_tests_iterative(self, X: int, Y: int,
+                           Zs_list: Sequence[Tuple[int, ...]]) -> List[TestResult]:
+        """Regression-based partial correlation (recursive_pcor=False mode,
+        reference: src/statfuns.jl:19-21 + src/tests.jl:250-265)."""
+        d = self.data_np.astype(np.float64)
+        if self.nz:
+            mask = (d[:, X] != 0) & (d[:, Y] != 0)
+            d = d[mask]
+        n_obs = d.shape[0]
+        if n_obs < self.n_obs_min:
+            return [TestResult(0.0, 1.0, 0, False)] * len(Zs_list)
+        out = []
+        for Zs in Zs_list:
+            stat = sf.pcor_iterative(X, Y, Zs, d)
+            pval = float(sf.fz_pval(np.float64(stat), n_obs, 0))
+            out.append(TestResult(stat, pval, 0, True))
+        return out
+
+
+def _bucket_m(m: int) -> int:
+    """Pad variable-subset width to bound the jit cache."""
+    for s in (8, 16, 32, 64, 128):
+        if m <= s:
+            return s
+    return ((m + 127) // 128) * 128

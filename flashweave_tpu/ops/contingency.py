@@ -1,0 +1,110 @@
+"""Contingency tables as one-hot matmuls.
+
+TPU-native replacement for the reference's hand-written sparse merge-join
+contingency kernels (reference: src/contingency.jl).  The key re-design: a
+contingency table is a product of one-hot encodings,
+
+    ctab[x_level, y_level] = sum_r onehot(X)[r, x_level] * onehot(Y)[r, y_level]
+
+so ALL-PAIRS tables become L^2 (vars x samples) @ (samples x vars) matmuls
+that run on the MXU, and stratified 3-way tables become batched matmuls with
+the (y_level, stratum) axes fused.  Zero-adjustment ("heterogeneous" modes,
+reference src/statfuns.jl:313-323) is table-cell slicing, not row trimming:
+slicing the full-data table at [x>=ox, y>=oy] counts exactly the rows with
+X!=0 / Y!=0, which replaces every nz-aware merge-join special case in the
+reference.
+
+The z-stratum hash (reference ZMapper, src/types.jl:26-51) becomes a radix
+encoding z_code = sum_j Z_j * L^j with a FIXED stratum count S = L^max_k.
+Empty strata contribute nothing to the MI statistic and 0 to the adjusted df
+(max(1, nonzero_margins) - 1 == 0), so no dense re-mapping is needed; the
+number of occupied strata (for the power heuristic) is a presence reduction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def onehot_encode(data, L):
+    """(n, p) integer matrix -> (n, p, L) one-hot in the input float dtype."""
+    lv = jnp.arange(L, dtype=jnp.int32)
+    return (data[..., None].astype(jnp.int32) == lv).astype(data.dtype)
+
+
+@partial(jax.jit, static_argnames=("tile", "L"))
+def pair_ctab_block(data, start, tile, L):
+    """Contingency tables of a block of X-variables against ALL variables.
+
+    Args:
+      data: (n, p) discrete values in 0..L-1 (float dtype for MXU matmuls).
+      start: first X-variable of the block.
+    Returns:
+      (tile, p, L, L) float tables; ctab[t, q, a, b] = #rows with
+      X_{start+t} == a and Y_q == b.
+    """
+    n = data.shape[0]
+    enc = onehot_encode(data, L)                           # (n, p, L)
+    block = lax.dynamic_slice(data, (0, start), (n, tile))
+    enc_block = onehot_encode(block, L)                    # (n, tile, L)
+    # (tile*L, n) @ (n, p*L) -> MXU
+    a = enc_block.transpose(1, 2, 0).reshape(tile * L, n)
+    b = enc.reshape(n, -1)
+    ctab = (a @ b).reshape(tile, L, data.shape[1], L)
+    return ctab.transpose(0, 2, 1, 3)                      # (tile, p, L, L)
+
+
+@partial(jax.jit, static_argnames=("B_pad", "max_k", "L", "S"))
+def cond_ctab_batch(data, X, Y, Zs, kvec, row_mask, B_pad, max_k, L, S):
+    """Stratified contingency tables for a batch of (X, Y, Zs) descriptors.
+
+    Replaces the reference's generated sparse N-column merge-join backend
+    (reference: src/contingency.jl:300-480) with a batched one-hot matmul.
+
+    Args:
+      data: (n, p) discrete values in 0..L-1 (float dtype).
+      X, Y: (B_pad,) int32 column indices.
+      Zs:   (B_pad, max_k) int32 conditioning columns (entries >= kvec ignored).
+      kvec: (B_pad,) conditioning-set sizes.
+      row_mask: (n, B_pad) float 0/1 -- rows included per test (the reference's
+        dense-path view trimming, src/hiton.jl:41-50).
+    Returns:
+      (B_pad, L, L, S) float tables over the masked rows.
+    """
+    n = data.shape[0]
+    x = jnp.take(data, X, axis=1)                          # (n, B)
+    y = jnp.take(data, Y, axis=1)
+    # radix z-code with base L (reference ZMapper cum_levels, src/types.jl:32-46)
+    zcode = jnp.zeros((n, B_pad), dtype=jnp.int32)
+    for j in range(max_k):
+        zj = jnp.take(data, Zs[:, j], axis=1).astype(jnp.int32)
+        zcode = zcode + jnp.where(j < kvec[None, :], zj * (L ** j), 0)
+    ex = onehot_encode(x, L) * row_mask[..., None]         # (n, B, L)
+    ey = onehot_encode(y, L)                               # (n, B, L)
+    ez = (zcode[..., None] == jnp.arange(S, dtype=jnp.int32)).astype(data.dtype)
+    # fuse (y_level, stratum) then batched matmul over B: (B,L,n)@(B,n,L*S)
+    w = (ey[..., :, None] * ez[..., None, :]).reshape(n, B_pad, L * S)
+    ctab = jnp.einsum("nba,nbm->bam", ex, w, preferred_element_type=data.dtype)
+    return ctab.reshape(B_pad, L, L, S)
+
+
+def slice_mask(ctab, ox, oy, xp=jnp):
+    """Zero the table cells removed by nz-adjustment (reference:
+    src/statfuns.jl:313-323): level-rows a < ox and level-cols b < oy.
+
+    ctab: (..., L, L, S) stratified tables; ox, oy: (...,) int offsets in
+    {0, 1}.  Slicing-by-zeroing keeps shapes static for XLA; the statistics in
+    ops.statfuns.mi_stats ignore zeroed cells exactly like the reference's
+    sub-table views.
+    """
+    L = ctab.shape[-3]
+    a = xp.arange(L)
+    b = xp.arange(L)
+    keep = (a[:, None, None] >= ox[..., None, None, None]) & (
+        b[None, :, None] >= oy[..., None, None, None]
+    )
+    return ctab * keep.astype(ctab.dtype)

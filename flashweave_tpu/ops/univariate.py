@@ -1,0 +1,291 @@
+"""Batched all-pairs univariate association tests.
+
+TPU-native replacement for the reference's pairwise pass (reference:
+src/tests.jl:370-532 ``pw_univar_neighbors`` + per-pair kernels).  Instead of
+n*(n-1)/2 scalar tests distributed over worker processes, the whole pass is a
+handful of (vars x samples) @ (samples x vars) matmuls:
+
+- fz        : one standardized Gram matrix (the correlation matrix)
+- fz_nz     : four masked-moment matmuls (n, sum x, sum x^2, sum xy over rows
+              where BOTH variables are nonzero) -- replaces the sparse
+              merge-join streaming correlation (reference src/statfuns.jl:91-123)
+- mi / mi_nz: L^2 one-hot matmuls producing all-pairs contingency tables
+              (replaces reference src/contingency.jl:80-123)
+
+Work is processed in X-variable blocks so device memory stays bounded and the
+block axis / output columns can be sharded over a device mesh.  p-values are
+computed on host in float64 (the reference keeps all stats in Float64;
+float32 p-values would collapse the BH-FDR ranking of highly significant
+pairs) from tiny per-pair aggregates pulled off-device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import statfuns as sf
+from .contingency import pair_ctab_block
+from ..utils.misc import is_zero_adjusted, isdiscrete
+
+
+# ---------------------------------------------------------------------------
+# device kernels
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def cor_matrix(data):
+    """Full correlation matrix as one Gram matmul (reference equivalent:
+    Statistics.cor used at src/learning.jl:44)."""
+    n = data.shape[0]
+    mu = data.mean(axis=0, keepdims=True)
+    xc = data - mu
+    cov = xc.T @ xc
+    d = jnp.sqrt(jnp.diag(cov))
+    denom = d[:, None] * d[None, :]
+    return jnp.where(denom > 0, cov / jnp.where(denom > 0, denom, 1.0), jnp.nan)
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def fz_nz_block(data, start, tile):
+    """Masked pairwise correlation of an X-block against all variables over
+    rows where both are nonzero (reference: src/statfuns.jl:91-123 with
+    nz=true).  Returns (stat, n_obs) of shape (tile, p)."""
+    n = data.shape[0]
+    nzmask = (data != 0).astype(data.dtype)
+    mb = lax.dynamic_slice(nzmask, (0, start), (n, tile))
+    db = lax.dynamic_slice(data, (0, start), (n, tile)) * mb
+    dm = data * nzmask
+    N = mb.T @ nzmask                                 # joint nonzero counts
+    Sx = db.T @ nzmask                                # sum x over joint rows
+    Sy = mb.T @ dm
+    Sxx = (db * db).T @ nzmask
+    Syy = mb.T @ (dm * dm)
+    Sxy = db.T @ dm
+    safe_n = jnp.where(N > 0, N, 1.0)
+    cov = Sxy - Sx * Sy / safe_n
+    varx = Sxx - Sx * Sx / safe_n
+    vary = Syy - Sy * Sy / safe_n
+    denom = jnp.sqrt(varx * vary)
+    r = cov / denom                                   # 0/0 -> NaN, x/0 -> inf
+    # sparse-path clamp semantics (reference src/statfuns.jl:116-120):
+    # inf -> 1, -inf -> -1, NaN propagates
+    r = jnp.where(r > 1.0, 1.0, r)
+    r = jnp.where(r < -1.0, -1.0, r)
+    r = jnp.where(N > 0, r, 0.0)                      # n_obs == 0 -> stat 0
+    return r, N
+
+
+@partial(jax.jit, static_argnames=("nz", "L"))
+def mi_block_stats(ctab, levels_x, levels_y, maxv_x, maxv_y, hps, n_obs_min,
+                   nz, L):
+    """Univariate MI G-test statistics from a block of pair tables.
+
+    Implements the reference's dense univariate test logic (reference:
+    src/tests.jl:28-77): nz slicing, power pre/post checks, signed MI, df
+    adjustment.  Shapes: ctab (t, p, L, L); levels_x/maxv_x (t,);
+    levels_y/maxv_y (p,).  Returns (stat, df, n_obs, suff_power).
+    """
+    t, p = ctab.shape[:2]
+    lx = levels_x[:, None].astype(ctab.dtype)
+    ly = levels_y[None, :].astype(ctab.dtype)
+    if nz:
+        ox = (maxv_x > 1).astype(jnp.int32)[:, None] * jnp.ones((1, p), jnp.int32)
+        oy = (maxv_y > 1).astype(jnp.int32)[None, :] * jnp.ones((t, 1), jnp.int32)
+        a = jnp.arange(L)
+        keep = (a[:, None] >= ox[..., None, None]) & (a[None, :] >= oy[..., None, None])
+        sub = ctab * keep.astype(ctab.dtype)
+        lx_eff = (L - ox).astype(ctab.dtype)          # size of sliced table
+        ly_eff = (L - oy).astype(ctab.dtype)
+        # rows of the X-trimmed view (pre-check n_obs): all rows with x >= ox
+        rowkeep = (a[:, None] >= ox[..., None, None]) & jnp.ones(
+            (1, L), bool
+        )
+        n_view = (ctab * rowkeep.astype(ctab.dtype)).sum(axis=(-2, -1))
+    else:
+        ox = jnp.zeros((t, p), jnp.int32)
+        oy = jnp.zeros((t, p), jnp.int32)
+        sub = ctab
+        lx_eff = lx * jnp.ones((t, p), ctab.dtype)
+        ly_eff = ly * jnp.ones((t, p), ctab.dtype)
+        n_view = ctab.sum(axis=(-2, -1))
+
+    stat, df, n_obs = sf.mi_stats(sub[..., None], ox, oy, xp=jnp)
+
+    # pre-check (reference src/tests.jl:9-20): offsets from LEVELS (>1 -> 2),
+    # zero denominators pass (Julia n/0 == Inf)
+    plx = lx - jnp.where(lx > 1, 2.0, 1.0)
+    ply = ly - jnp.where(ly > 1, 2.0, 1.0)
+    cells_pre = plx * ply
+    pre_ok = (n_view >= n_obs_min) & jnp.where(
+        cells_pre > 0, n_view / jnp.where(cells_pre > 0, cells_pre, 1.0) > hps, True
+    )
+    # post-check (reference src/tests.jl:56-62)
+    cells_post = lx_eff * ly_eff
+    post_ok = (n_obs >= n_obs_min) & jnp.where(
+        cells_post > 0, n_obs / jnp.where(cells_post > 0, cells_post, 1.0) > hps, True
+    )
+    # X variables with < 2 levels never test (reference src/tests.jl:86-92)
+    row_ok = lx >= 2
+    suff = pre_ok & post_ok & row_ok
+    stat = jnp.where(suff, stat, 0.0)
+    df = jnp.where(suff, df, 0)
+    return stat, df, n_obs, suff
+
+
+# ---------------------------------------------------------------------------
+# host driver
+# ---------------------------------------------------------------------------
+
+def _choose_tile(p: int, requested: Optional[int]) -> int:
+    if requested is not None:
+        return min(requested, p)
+    return min(p, 512)
+
+
+def condensed_index(p: int):
+    """Upper-triangle (X < Y) index pairs, row-major like the reference's
+    condensed layout (reference: src/tests.jl:377-388)."""
+    iu = np.triu_indices(p, k=1)
+    return iu
+
+
+class UnivarResult:
+    """All-pairs statistics in condensed (X < Y) layout."""
+
+    def __init__(self, p, stats, pvals, suff_power):
+        self.p = p
+        self.stats = stats          # (n_pairs,) float64, raw stats
+        self.pvals = pvals          # (n_pairs,) float64 (NaN = unreliable)
+        self.suff_power = suff_power
+
+    def neighbor_dicts(self, alpha: float) -> Dict[int, "OrderedDictType"]:
+        """Per-variable neighbor dicts of significant pairs sorted later by
+        the caller (reference: src/tests.jl:372-388)."""
+        p = self.p
+        nbr = {X: {} for X in range(p)}
+        iu, ju = condensed_index(p)
+        with np.errstate(invalid="ignore"):
+            sig = self.pvals < alpha        # NaN -> False
+        for idx in np.nonzero(sig)[0]:
+            X, Y = int(iu[idx]), int(ju[idx])
+            entry = (float(self.stats[idx]), float(self.pvals[idx]))
+            nbr[X][Y] = entry
+            nbr[Y][X] = entry
+        return nbr
+
+
+def pw_univar_neighbors(
+    data: np.ndarray,
+    test_name: str = "mi",
+    alpha: float = 0.01,
+    hps: int = 5,
+    n_obs_min: int = 0,
+    FDR: bool = True,
+    levels: Optional[np.ndarray] = None,
+    max_vals: Optional[np.ndarray] = None,
+    cor_mat: Optional[np.ndarray] = None,
+    correct_reliable_only: bool = True,
+    tile: Optional[int] = None,
+    return_result: bool = False,
+):
+    """All-pairs univariate pass (reference: src/tests.jl:436-532).
+
+    Returns per-variable neighbor dicts {X: {Y: (stat, pval)}} (0-based) of
+    FDR-significant pairs; with return_result=True also the condensed
+    UnivarResult.
+    """
+    from ..utils.misc import get_levels, get_max_vals
+
+    n, p = data.shape
+    nz = is_zero_adjusted(test_name)
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    n_pairs = p * (p - 1) // 2
+    iu, ju = condensed_index(p)
+
+    if isdiscrete(test_name):
+        if levels is None:
+            levels = get_levels(data)
+            max_vals = get_max_vals(data)
+        L = int(np.max(max_vals)) + 1
+        data_j = jnp.asarray(data, dtype=dtype)
+        tile_sz = _choose_tile(p, tile)
+        stats_m = np.empty((p, p))
+        df_m = np.empty((p, p), dtype=np.int64)
+        nobs_m = np.empty((p, p), dtype=np.int64)
+        suff_m = np.empty((p, p), dtype=bool)
+        levels_np = np.asarray(levels, dtype=np.int32)
+        maxv_np = np.asarray(max_vals, dtype=np.int32)
+        for start in range(0, p, tile_sz):
+            t = min(tile_sz, p - start)
+            # fixed tile size for jit cache: pad the final block
+            s = start if t == tile_sz else max(0, p - tile_sz)
+            ctab = pair_ctab_block(data_j, s, tile_sz, L)
+            stat, df, n_obs, suff = mi_block_stats(
+                ctab, levels_np[s : s + tile_sz], levels_np,
+                maxv_np[s : s + tile_sz], maxv_np, float(hps),
+                float(n_obs_min), nz, L,
+            )
+            sl = slice(s, s + tile_sz)
+            stats_m[sl] = np.asarray(stat, dtype=np.float64)
+            df_m[sl] = np.asarray(df)
+            nobs_m[sl] = np.asarray(n_obs)
+            suff_m[sl] = np.asarray(suff)
+        stats = stats_m[iu, ju]
+        pvals = sf.mi_pval(stats, df_m[iu, ju], nobs_m[iu, ju])
+        pvals = np.where(df_m[iu, ju] > 0, pvals, 1.0)
+        pvals = np.where(suff_m[iu, ju], pvals, 1.0)
+        stats = np.where(suff_m[iu, ju], stats, 0.0)
+        suff = suff_m[iu, ju]
+    elif test_name == "fz":
+        if cor_mat is not None and cor_mat.size:
+            C = np.asarray(cor_mat, dtype=np.float64)
+        else:
+            C = np.asarray(cor_matrix(jnp.asarray(data, dtype=dtype)),
+                           dtype=np.float64)
+        stats = C[iu, ju]
+        n_obs = np.full(n_pairs, n)
+        suff = n_obs >= n_obs_min
+        pvals = sf.fz_pval(stats, n_obs, 0)
+        stats = np.where(suff, stats, 0.0)
+        pvals = np.where(suff, pvals, 1.0)
+    elif test_name == "fz_nz":
+        data_j = jnp.asarray(data, dtype=dtype)
+        tile_sz = _choose_tile(p, tile)
+        stats_m = np.empty((p, p))
+        nobs_m = np.empty((p, p), dtype=np.int64)
+        for start in range(0, p, tile_sz):
+            t = min(tile_sz, p - start)
+            s = start if t == tile_sz else max(0, p - tile_sz)
+            r, N = fz_nz_block(data_j, s, tile_sz)
+            stats_m[s : s + tile_sz] = np.asarray(r, dtype=np.float64)
+            nobs_m[s : s + tile_sz] = np.asarray(N, dtype=np.int64)
+        stats = stats_m[iu, ju]
+        n_obs = nobs_m[iu, ju]
+        # n_obs < n_obs_min -> stat forced to 0 (reference src/tests.jl:121-125)
+        stats = np.where(n_obs >= n_obs_min, stats, 0.0)
+        suff = n_obs >= n_obs_min
+        pvals = sf.fz_pval(stats, n_obs, 0)
+    else:
+        raise ValueError(f"{test_name} is not a valid test name")
+
+    if correct_reliable_only:
+        stats = np.where(suff, stats, np.nan)
+        pvals = np.where(suff, pvals, np.nan)
+
+    if FDR:
+        m = n_pairs
+        if correct_reliable_only:
+            m -= int(np.isnan(pvals).sum())
+        pvals = sf.benjamini_hochberg(pvals, alpha=alpha, m=m)
+
+    result = UnivarResult(p, stats, pvals, suff)
+    nbrs = result.neighbor_dicts(alpha)
+    if return_result:
+        return nbrs, result
+    return nbrs

@@ -1,0 +1,95 @@
+"""Conditional test kernel parity against the reference fixtures
+(reference: test/tests.jl condZ1 / condZ3 rows of tests_expected.tsv)."""
+
+import numpy as np
+import pytest
+
+from flashweave_tpu import preprocessing as pp
+from flashweave_tpu.ops.condtests import CondTestEngine
+from flashweave_tpu.ops import univariate as uv
+from flashweave_tpu.utils.misc import get_levels, get_max_vals
+
+from conftest import requires_reference_data
+from test_univariate import load_tests_expected
+
+
+@pytest.fixture(scope="module")
+def norm_data(hmp_small):
+    return {
+        tn: pp.preprocess_data_default(hmp_small, tn, verbose=False, prec=64).data
+        for tn in ["mi", "mi_nz", "fz", "fz_nz"]
+    }
+
+
+def make_engine(data, test_name, max_k):
+    kw = {}
+    if test_name.startswith("mi"):
+        kw["levels"] = get_levels(data)
+        kw["max_vals"] = get_max_vals(data)
+    elif test_name == "fz":
+        kw["cor_mat"] = np.asarray(uv.cor_matrix(np.asarray(data, np.float64)),
+                                   dtype=np.float64)
+    return CondTestEngine(data, test_name, max_k, hps=5, n_obs_min=0, **kw)
+
+
+def run_single(engine, test_name, X, Y, Zs):
+    k = len(Zs)
+    if test_name.startswith("mi"):
+        Zarr = np.zeros((1, engine.max_k), np.int32)
+        Zarr[0, :k] = Zs
+        return engine.mi_tests(np.array([X]), np.array([Y]), Zarr,
+                               np.array([k]))[0]
+    if test_name == "fz":
+        pos_Z = np.zeros((1, engine.max_k), np.int64)
+        pos_Z[0, :k] = Zs
+        return engine.fz_tests_from_cor(
+            engine.cor_mat, np.array([X]), np.array([Y]), pos_Z,
+            np.array([k]), engine.n,
+        )[0]
+    # fz_nz
+    var_list = [X, Y] + list(Zs)
+    C, n_obs = engine.masked_cor([(X, Y)], [var_list])[0]
+    pos = {v: i for i, v in enumerate(var_list)}
+    pos_Z = np.zeros((1, engine.max_k), np.int64)
+    pos_Z[0, :k] = [pos[z] for z in Zs]
+    return engine.fz_tests_from_cor(
+        C, np.array([pos[X]]), np.array([pos[Y]]), pos_Z, np.array([k]), n_obs
+    )[0]
+
+
+@requires_reference_data
+@pytest.mark.parametrize("test_name", ["mi", "mi_nz", "fz", "fz_nz"])
+@pytest.mark.parametrize("cond_mode,Zs1", [("condZ1", (6,)), ("condZ3", (6, 13, 17))])
+def test_cond_matches_reference(norm_data, test_name, cond_mode, Zs1):
+    exp = load_tests_expected()[f"exp_{cond_mode}_{test_name}"]
+    estat, epval, edf, esuff = exp
+    data = norm_data[test_name]
+    engine = make_engine(data, test_name, max_k=len(Zs1))
+    # fixture indices are 1-based: X=31, Y=21, Zs=(7,)/(7,14,18)
+    res = run_single(engine, test_name, 30, 20, Zs1)
+    assert res.suff_power == esuff, res
+    assert res.df == edf, res
+    # pcor_rec's 1e-5 numerator rounding amplifies cor-matrix ulp differences;
+    # the reference itself compares with atol=1e-4 (test/statfuns.jl:31) and
+    # rtol=1e-2 (test/tests.jl:12-14)
+    assert np.isclose(res.stat, estat, rtol=1e-4, atol=1e-4), (res.stat, estat)
+    assert np.isclose(res.pval, epval, rtol=1e-2, atol=1e-300), (res.pval, epval)
+
+
+@requires_reference_data
+def test_mi_cond_batch_consistency(norm_data):
+    """Batched evaluation equals one-by-one evaluation."""
+    data = norm_data["mi_nz"]
+    engine = make_engine(data, "mi_nz", max_k=3)
+    rng = np.random.default_rng(0)
+    p = data.shape[1]
+    B = 17
+    X = rng.integers(0, p, B).astype(np.int32)
+    Y = (X + 1 + rng.integers(0, p - 2, B)).astype(np.int32) % p
+    Zs = rng.integers(0, p, (B, 3)).astype(np.int32)
+    k = rng.integers(1, 4, B).astype(np.int32)
+    batch = engine.mi_tests(X, Y, Zs, k)
+    for i in range(B):
+        solo = engine.mi_tests(X[i : i + 1], Y[i : i + 1], Zs[i : i + 1],
+                               k[i : i + 1])[0]
+        assert solo == batch[i], (i, solo, batch[i])

@@ -1,0 +1,113 @@
+"""End-to-end network parity against the reference's golden networks
+(reference: test/learning.jl, goldens in test/data/learning_expected/)."""
+
+import warnings
+
+import numpy as np
+import pytest
+
+from flashweave_tpu import preprocessing as pp
+from flashweave_tpu.io import load_network
+from flashweave_tpu.learning.lgl import LGL
+from flashweave_tpu.learning.network import learn_network
+from flashweave_tpu.utils.testing import compare_graph_results
+from flashweave_tpu.types import graph as get_graph
+
+from conftest import reference_data_path, requires_reference_data
+
+
+def expected_graph(test_name, max_k):
+    path = reference_data_path(
+        "learning_expected", f"exp_{test_name}_maxk{max_k}.edgelist"
+    )
+    return load_network(path).graph
+
+
+def make_network(data, test_name, prec=64, **kwargs):
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        norm = pp.preprocess_data_default(data, test_name, verbose=False, prec=prec)
+        return LGL(norm.data, test_name=test_name, verbose=False, **kwargs).graph
+
+
+# tolerance model from reference test/learning.jl:210-216
+def approx_params(test_name, max_k):
+    if test_name == "mi" and max_k == 3:
+        return dict(approx_nbr_diff=22, approx_weight_meandiff=0.16)
+    return dict(approx_nbr_diff=0, approx_weight_meandiff=0.05)
+
+
+@requires_reference_data
+@pytest.mark.parametrize("test_name", ["mi", "mi_nz", "fz", "fz_nz"])
+@pytest.mark.parametrize("max_k", [0, 3])
+@pytest.mark.parametrize("parallel", ["single", "single_il"])
+def test_lgl_backend_matches_goldens(hmp_small, test_name, max_k, parallel):
+    if max_k == 0 and parallel == "single_il":
+        pytest.skip("redundant (reference skips too)")
+    exp = expected_graph(test_name, max_k)
+    time_limit = 30.0 if parallel.endswith("_il") else 0.0
+    n_obs_min = 160 if (test_name.startswith("mi") and max_k == 3) else -1
+    pred = make_network(
+        hmp_small, test_name, max_k=max_k, parallel=parallel,
+        time_limit=time_limit, n_obs_min=n_obs_min,
+    )
+    assert compare_graph_results(
+        exp, pred, rtol=1e-2, atol=0.0, approx=True, verbose=True,
+        **approx_params(test_name, max_k),
+    )
+    # nonzero weights (reference test/learning.jl:226-229)
+    assert all(w != 0.0 for _, _, w in pred.edges())
+
+
+@requires_reference_data
+@pytest.mark.parametrize("test_name", ["fz", "fz_nz"])
+def test_pcor_recursive_fits_iterative(hmp_small, test_name):
+    # reference: test/learning.jl:239-260
+    g_iter = make_network(hmp_small, test_name, parallel="single",
+                          recursive_pcor=False, time_limit=0.0)
+    g_rec = make_network(hmp_small, test_name, parallel="single",
+                         time_limit=0.0)
+    assert compare_graph_results(
+        g_iter, g_rec, rtol=1e-2, approx=True, approx_nbr_diff=0,
+        approx_weight_meandiff=0.05, verbose=True,
+    )
+
+
+@requires_reference_data
+def test_learn_network_end_to_end(hmp_small):
+    # reference: test/learning.jl:276-316 (fz mode)
+    exp = expected_graph("fz", 3)
+    net = learn_network(
+        hmp_small, sensitive=True, heterogeneous=False, max_k=3,
+        track_rejections=True, verbose=False, n_obs_min=-1, prec=64,
+    )
+    pred = get_graph(net)
+    assert compare_graph_results(
+        exp, pred, approx=True, approx_nbr_diff=0,
+        approx_weight_meandiff=0.05, verbose=True,
+    )
+    assert isinstance(repr(net), str)
+    assert net.rejections  # track_rejections stored
+
+
+def test_meta_conditioning():
+    # injected confounder must explain away duplicate-OTU edges
+    # (reference: test/learning.jl:141-174)
+    rng = np.random.default_rng(1234)
+    otu_mat_rand = rng.integers(0, 3, (100, 10)).astype(np.float64)
+    otu_target = rng.integers(0, 3, 100).astype(np.float64)
+    mv_target = otu_target.copy()
+    mv_target[mv_target == 0] = 1
+    full = np.column_stack([otu_mat_rand, otu_target, otu_target, mv_target])
+    meta_mask = np.concatenate([np.zeros(12, bool), np.ones(1, bool)])
+    for sensitive in [True, False]:
+        for max_k in [0, 1]:
+            net = learn_network(
+                full, sensitive=sensitive, heterogeneous=True, max_k=max_k,
+                verbose=False, meta_mask=meta_mask, normalize=False, prec=64,
+            )
+            n_edges = get_graph(net).n_edges()
+            if max_k == 0:
+                assert n_edges == 3, (sensitive, max_k, n_edges)
+            else:
+                assert n_edges == 2, (sensitive, max_k, n_edges)
