@@ -133,6 +133,7 @@ def LGL(
     track_rejections: bool = False,
     all_univar_nbrs: Optional[Dict] = None,
     tile: Optional[int] = None,
+    mesh=None,
     **kwargs,
 ) -> LGLResult:
     """Learn a network via local-to-global HITON-PC (reference:
@@ -147,6 +148,18 @@ def LGL(
 
     data = np.asarray(data)
     n, p = data.shape
+
+    # multi-chip: shard over the device mesh (power-of-two device count so
+    # batch buckets stay evenly divisible)
+    if mesh is None and parallel == "multi_il":
+        import jax
+
+        ndev = len(jax.devices())
+        if ndev > 1:
+            from ..parallel.mesh import get_mesh
+
+            mesh = get_mesh(1 << (ndev.bit_length() - 1))
+
     levels, max_vals, cor_mat, time_limit, n_obs_min = prepare_lgl(
         data, test_name, time_limit, parallel, feed_forward, max_k, n_obs_min,
         hps, dense_cor, verbose,
@@ -159,7 +172,7 @@ def LGL(
             data, test_name=test_name, alpha=alpha, hps=hps,
             n_obs_min=n_obs_min, FDR=FDR, levels=levels, max_vals=max_vals,
             cor_mat=cor_mat, correct_reliable_only=correct_reliable_only,
-            tile=tile,
+            tile=tile, mesh=mesh,
         )
         if verbose:
             nbr_nums = [len(v) for v in all_univar_nbrs.values()]
@@ -185,7 +198,7 @@ def LGL(
         engine = CondTestEngine(
             data, test_name, max_k, levels=levels, max_vals=max_vals,
             cor_mat=cor_mat, hps=hps, n_obs_min=n_obs_min,
-            recursive_pcor=recursive_pcor,
+            recursive_pcor=recursive_pcor, mesh=mesh,
         )
         cfg = HitonConfig(
             test_name=test_name, max_k=max_k, alpha=alpha, hps=hps,
@@ -196,12 +209,12 @@ def LGL(
         )
         scheduler = RoundScheduler(
             engine, cfg, target_vars, all_univar_nbrs,
-            feed_forward=feed_forward,
+            feed_forward=(feed_forward and parallel.endswith("_il")),
             convergence_threshold=(
                 convergence_threshold if parallel.endswith("_il") else 0.0
             ),
             update_interval=update_interval, verbose=verbose,
-            sequential=(parallel == "single"),
+            sequential=(parallel in ("single", "single_il")),
         )
         nbr_states = scheduler.run()
         nbr_dict = {T: st.state_results for T, st in nbr_states.items()}

@@ -92,11 +92,7 @@ class RoundScheduler:
         start_time = time.time()
         gens = {}
         for T in self.targets:
-            wl = (
-                LiveWhitelist(self.adj, T)
-                if (self.feed_forward and not self.sequential)
-                else None
-            )
+            wl = LiveWhitelist(self.adj, T) if self.feed_forward else None
             gens[T] = si_hiton_pc_gen(
                 T, self.cfg, self.engine, self.univar[T],
                 whitelist=wl, control=control, start_time=start_time,
@@ -104,9 +100,41 @@ class RoundScheduler:
 
         results: Dict[int, HitonState] = {}
         if self.sequential:
-            for T in self.targets:
-                results[T] = self._drive_single(gens[T])
-                self._add_edges(T, results[T].state_results.keys())
+            # one target at a time, matching the reference's single-worker
+            # interleaved semantics: whitelists grow between jobs, not within
+            jobs_total = len(self.targets)
+            check_convergence = False
+            last_conv_time = 0.0
+            last_conv_edges = 0
+            for i, T in enumerate(self.targets):
+                state = self._drive_single(gens[T])
+                if control.converged and state.phase not in ("F", "C"):
+                    state = HitonState(
+                        "C", state.state_results, state.inter_results,
+                        state.unchecked_vars, state.state_rejections,
+                    )
+                results[T] = state
+                self._add_edges(T, state.state_results.keys())
+                # convergence between jobs (reference: src/interleaved.jl:203-230)
+                if self.conv_threshold != 0.0 and not control.converged:
+                    now = time.time()
+                    remaining_frac = (jobs_total - i - 1) / max(jobs_total, 1)
+                    if not check_convergence and remaining_frac <= self.conv_check_start:
+                        check_convergence = True
+                        last_conv_time = now - start_time
+                        last_conv_edges = self.n_edges
+                    elif check_convergence and last_conv_time > 0:
+                        delta_time = (now - start_time - last_conv_time) / last_conv_time
+                        if delta_time > self.conv_time_step:
+                            delta_edges = (
+                                (self.n_edges - last_conv_edges) / last_conv_edges
+                                if last_conv_edges
+                                else 0.0
+                            )
+                            if delta_edges / delta_time < self.conv_threshold:
+                                control.converged = True
+                            last_conv_time = now - start_time
+                            last_conv_edges = self.n_edges
             return results
 
         # round-based concurrent execution

@@ -129,7 +129,8 @@ class CondTestEngine:
                  max_vals: Optional[np.ndarray] = None,
                  cor_mat: Optional[np.ndarray] = None,
                  hps: int = 5, n_obs_min: int = 0,
-                 recursive_pcor: bool = True):
+                 recursive_pcor: bool = True, mesh=None):
+        self.mesh = mesh
         self.test_name = test_name
         self.max_k = max_k
         self.hps = hps
@@ -142,6 +143,10 @@ class CondTestEngine:
         self.levels = None
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.data_j = jnp.asarray(data, dtype=dtype)
+        if mesh is not None:
+            from ..parallel.mesh import replicated
+
+            self.data_j = jax.device_put(self.data_j, replicated(mesh))
         if self.discrete:
             self.levels = np.asarray(levels, dtype=np.int32)
             self.max_vals = np.asarray(max_vals, dtype=np.int32)
@@ -157,16 +162,30 @@ class CondTestEngine:
 
     def mi_tests(self, X: np.ndarray, Y: np.ndarray, Zs: np.ndarray,
                  kvec: np.ndarray) -> List[TestResult]:
-        """Evaluate B conditional MI tests; Zs shape (B, max_k), padded with 0."""
+        """Evaluate B conditional MI tests; Zs shape (B, max_k), padded with 0.
+
+        Arbitrary B is processed in fixed bucket-size segments so only the
+        bucket shapes in BATCH_BUCKETS are ever compiled."""
+        B = len(X)
+        out: List[TestResult] = []
+        seg_max = BATCH_BUCKETS[-1]
+        for s in range(0, B, seg_max):
+            e = min(s + seg_max, B)
+            out.extend(self._mi_tests_seg(X[s:e], Y[s:e], Zs[s:e], kvec[s:e]))
+        return out
+
+    def _mi_tests_seg(self, X, Y, Zs, kvec) -> List[TestResult]:
         B = len(X)
         Bp = _bucket(B)
         Xp = np.zeros(Bp, np.int32); Xp[:B] = X
         Yp = np.zeros(Bp, np.int32); Yp[:B] = Y
         Zp = np.zeros((Bp, self.max_k), np.int32); Zp[:B] = Zs
         kp = np.zeros(Bp, np.int32); kp[:B] = kvec
+        if self.mesh is not None:
+            Xp, Yp, Zp, kp = self._shard_batch(Xp, Yp, Zp, kp)
         stat, df, n_obs, suff = _mi_cond_kernel(
             self.data_j, self.levels_j, self.maxv_j,
-            jnp.asarray(Xp), jnp.asarray(Yp), jnp.asarray(Zp), jnp.asarray(kp),
+            Xp, Yp, Zp, kp,
             float(self.hps), Bp, self.max_k, self.L, self.S, self.nz,
         )
         stat = np.asarray(stat, np.float64)[:B]
@@ -185,6 +204,16 @@ class CondTestEngine:
                    var_lists: Sequence[Sequence[int]]):
         """Masked correlation matrices for (T, C) pairs over their variable
         subsets [T, C, Z_total...].  Returns list of (C_sub f64, n_obs)."""
+        out = []
+        seg_max = BATCH_BUCKETS[1]  # keep B*n*m memory bounded
+        for s in range(0, len(pairs), seg_max):
+            out.extend(
+                self._masked_cor_seg(pairs[s : s + seg_max],
+                                     var_lists[s : s + seg_max])
+            )
+        return out
+
+    def _masked_cor_seg(self, pairs, var_lists):
         B = len(pairs)
         m = _bucket_m(max(len(v) for v in var_lists))
         Bp = _bucket(B)
@@ -195,9 +224,9 @@ class CondTestEngine:
             X[i], Y[i] = x, y
             VI[i, : len(vl)] = vl
             VI[i, len(vl):] = x  # pad with X; padded entries never gathered
-        C, n_obs = _masked_cor_kernel(
-            self.data_j, jnp.asarray(X), jnp.asarray(Y), jnp.asarray(VI), Bp, m
-        )
+        if self.mesh is not None:
+            X, Y, VI = self._shard_batch(X, Y, VI)
+        C, n_obs = _masked_cor_kernel(self.data_j, X, Y, VI, Bp, m)
         C = np.asarray(C, np.float64)
         n_obs = np.asarray(n_obs, np.float64)
         return [(C[i], float(n_obs[i])) for i in range(B)]
@@ -226,6 +255,13 @@ class CondTestEngine:
         return [
             TestResult(float(stat[i]), float(pval[i]), 0, True) for i in range(B)
         ]
+
+    def _shard_batch(self, *arrays):
+        """Shard test batches over the device mesh (data-parallel tests)."""
+        from ..parallel.mesh import batch_sharded
+
+        sh = batch_sharded(self.mesh)
+        return tuple(jax.device_put(a, sh) for a in arrays)
 
     def nz_pair_count(self, X: int, Y: int) -> int:
         """Rows where both variables are nonzero (the doubly-trimmed view size)."""

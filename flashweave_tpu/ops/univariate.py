@@ -193,12 +193,14 @@ def pw_univar_neighbors(
     correct_reliable_only: bool = True,
     tile: Optional[int] = None,
     return_result: bool = False,
+    mesh=None,
 ):
     """All-pairs univariate pass (reference: src/tests.jl:436-532).
 
     Returns per-variable neighbor dicts {X: {Y: (stat, pval)}} (0-based) of
     FDR-significant pairs; with return_result=True also the condensed
-    UnivarResult.
+    UnivarResult.  With a mesh, the variable axis is sharded across devices
+    so each matmul (and its output slab) is computed SPMD.
     """
     from ..utils.misc import get_levels, get_max_vals
 
@@ -208,23 +210,48 @@ def pw_univar_neighbors(
     n_pairs = p * (p - 1) // 2
     iu, ju = condensed_index(p)
 
+    # pad the variable axis for even device sharding; padded columns are
+    # all-zero and their pair results are discarded below
+    p_int = p
+    if mesh is not None:
+        from ..parallel.mesh import col_sharded, pad_to_multiple
+
+        ndev = mesh.devices.size
+        data = pad_to_multiple(np.asarray(data), ndev, axis=1)
+        p_int = data.shape[1]
+        if levels is not None:
+            levels = np.concatenate(
+                [np.asarray(levels), np.ones(p_int - p, np.int32)]
+            )
+            max_vals = np.concatenate(
+                [np.asarray(max_vals), np.zeros(p_int - p, np.int32)]
+            )
+
+    def _put(arr):
+        x = jnp.asarray(arr, dtype=dtype)
+        if mesh is not None:
+            from ..parallel.mesh import col_sharded
+
+            x = jax.device_put(x, col_sharded(mesh))
+        return x
+
     if isdiscrete(test_name):
         if levels is None:
             levels = get_levels(data)
             max_vals = get_max_vals(data)
         L = int(np.max(max_vals)) + 1
-        data_j = jnp.asarray(data, dtype=dtype)
-        tile_sz = _choose_tile(p, tile)
-        stats_m = np.empty((p, p))
-        df_m = np.empty((p, p), dtype=np.int64)
-        nobs_m = np.empty((p, p), dtype=np.int64)
-        suff_m = np.empty((p, p), dtype=bool)
+        data_j = _put(data)
+        tile_sz = _choose_tile(p_int, tile)
+        stats_m = np.empty((p_int, p_int))
+        df_m = np.empty((p_int, p_int), dtype=np.int64)
+        nobs_m = np.empty((p_int, p_int), dtype=np.int64)
+        suff_m = np.empty((p_int, p_int), dtype=bool)
         levels_np = np.asarray(levels, dtype=np.int32)
         maxv_np = np.asarray(max_vals, dtype=np.int32)
-        for start in range(0, p, tile_sz):
-            t = min(tile_sz, p - start)
+        for start in range(0, p_int, tile_sz):
+            t = min(tile_sz, p_int - start)
             # fixed tile size for jit cache: pad the final block
-            s = start if t == tile_sz else max(0, p - tile_sz)
+            s = start if t == tile_sz else max(0, p_int - tile_sz)
             ctab = pair_ctab_block(data_j, s, tile_sz, L)
             stat, df, n_obs, suff = mi_block_stats(
                 ctab, levels_np[s : s + tile_sz], levels_np,
@@ -244,10 +271,9 @@ def pw_univar_neighbors(
         suff = suff_m[iu, ju]
     elif test_name == "fz":
         if cor_mat is not None and cor_mat.size:
-            C = np.asarray(cor_mat, dtype=np.float64)
+            C = np.asarray(cor_mat, dtype=np.float64)[:p, :p]
         else:
-            C = np.asarray(cor_matrix(jnp.asarray(data, dtype=dtype)),
-                           dtype=np.float64)
+            C = np.asarray(cor_matrix(_put(data)), dtype=np.float64)[:p, :p]
         stats = C[iu, ju]
         n_obs = np.full(n_pairs, n)
         suff = n_obs >= n_obs_min
@@ -255,13 +281,13 @@ def pw_univar_neighbors(
         stats = np.where(suff, stats, 0.0)
         pvals = np.where(suff, pvals, 1.0)
     elif test_name == "fz_nz":
-        data_j = jnp.asarray(data, dtype=dtype)
-        tile_sz = _choose_tile(p, tile)
-        stats_m = np.empty((p, p))
-        nobs_m = np.empty((p, p), dtype=np.int64)
-        for start in range(0, p, tile_sz):
-            t = min(tile_sz, p - start)
-            s = start if t == tile_sz else max(0, p - tile_sz)
+        data_j = _put(data)
+        tile_sz = _choose_tile(p_int, tile)
+        stats_m = np.empty((p_int, p_int))
+        nobs_m = np.empty((p_int, p_int), dtype=np.int64)
+        for start in range(0, p_int, tile_sz):
+            t = min(tile_sz, p_int - start)
+            s = start if t == tile_sz else max(0, p_int - tile_sz)
             r, N = fz_nz_block(data_j, s, tile_sz)
             stats_m[s : s + tile_sz] = np.asarray(r, dtype=np.float64)
             nobs_m[s : s + tile_sz] = np.asarray(N, dtype=np.int64)

@@ -1,0 +1,57 @@
+"""Device-mesh helpers.
+
+The reference scales via Julia Distributed worker processes sharing (or
+copying) the data matrix (reference: src/interleaved.jl, README.md:185-216).
+The TPU-native equivalent is a jax.sharding.Mesh:
+
+- the OTU matrix is REPLICATED across devices (it is small relative to HBM:
+  even 50k samples x 100k vars int8 is 5 GB),
+- the univariate pair-matrix work is sharded over the variable axis, so each
+  device computes a column slab of every all-pairs moment/contingency matmul
+  and XLA inserts any needed collectives over ICI,
+- conditional-test batches are sharded over the test (batch) axis --
+  data-parallel across devices with zero communication, the merge being the
+  host-side gather of per-test statistics.
+
+All sharding is expressed with NamedSharding constraints on jit inputs; XLA's
+SPMD partitioner propagates them through the kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = len(devs) if n_devices is None else n_devices
+    return Mesh(np.array(devs[:n]), ("d",))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def col_sharded(mesh: Mesh) -> NamedSharding:
+    """(n, p) arrays sharded over the variable axis."""
+    return NamedSharding(mesh, P(None, "d"))
+
+
+def batch_sharded(mesh: Mesh) -> NamedSharding:
+    """Test batches sharded over the leading axis."""
+    return NamedSharding(mesh, P("d"))
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int, axis: int,
+                    value=0) -> np.ndarray:
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return np.pad(x, widths, constant_values=value)
