@@ -54,6 +54,9 @@ class HitonConfig:
     time_limit: float = 0.0
     track_rejections: bool = False
     debug: int = 0
+    # experimental branch-and-bound enumeration (reference: src/hiton.jl:87-98)
+    bnb: bool = False
+    cut_test_branches: bool = True
 
     @property
     def discrete(self) -> bool:
@@ -216,9 +219,16 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
         if not in_list:
             if phase == "E":
                 accepted = [a for a in accepted if a != cand]
-            res, lowest_Zs, num_tests, frac = yield from test_subsets_gen(
-                T, cand, accepted, cfg, engine
-            )
+            if cfg.bnb:
+                from .bnb import bnb_test_subsets_gen
+
+                res, lowest_Zs, num_tests, frac = yield from bnb_test_subsets_gen(
+                    T, cand, accepted, cfg, engine, cfg.cut_test_branches
+                )
+            else:
+                res, lowest_Zs, num_tests, frac = yield from test_subsets_gen(
+                    T, cand, accepted, cfg, engine
+                )
             # update_sig_result! (reference: src/hiton.jl:53-78)
             if not accepted:
                 accepted.append(cand)

@@ -205,7 +205,8 @@ def LGL(
             n_obs_min=n_obs_min, max_tests=max_tests, fast_elim=fast_elim,
             no_red_tests=no_red_tests, weight_type=weight_type,
             time_limit=time_limit, track_rejections=track_rejections,
-            debug=debug,
+            debug=debug, bnb=bool(kwargs.pop("bnb", False)),
+            cut_test_branches=bool(kwargs.pop("cut_test_branches", True)),
         )
         scheduler = RoundScheduler(
             engine, cfg, target_vars, all_univar_nbrs,

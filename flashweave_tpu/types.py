@@ -31,6 +31,8 @@ RejDict = Dict[int, Tuple[Tuple[int, ...], "TestResult", Tuple[int, float]]]
 class TestResult:
     """Statistical test outcome (reference: src/types.jl:140-145)."""
 
+    __test__ = False  # not a pytest class
+
     stat: float
     pval: float
     df: int

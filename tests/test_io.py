@@ -1,0 +1,141 @@
+"""I/O parity tests (reference: test/io.jl)."""
+
+import numpy as np
+import pytest
+
+from flashweave_tpu import io as fio
+from flashweave_tpu.types import FWResult, HitonState, LGLResult, TestResult
+
+from conftest import reference_data_path, requires_reference_data
+
+
+@pytest.fixture(scope="module")
+def net_result():
+    return fio.load_network(
+        reference_data_path("learning_expected", "exp_mi_maxk3.edgelist")
+    )
+
+
+@requires_reference_data
+@pytest.mark.parametrize("fmt", ["edgelist", "gml"])
+def test_network_roundtrip(tmp_path, net_result, fmt):
+    path = str(tmp_path / f"net.{fmt}")
+    fio.save_network(path, net_result)
+    loaded = fio.load_network(path)
+    assert loaded.graph == net_result.graph
+    assert loaded.variable_ids == net_result.variable_ids
+    assert np.array_equal(loaded.meta_variable_mask, net_result.meta_variable_mask)
+
+
+@requires_reference_data
+def test_detailed_outputs(tmp_path, net_result):
+    # reference: test/io.jl:44-69 (0-based internal ids here)
+    rej_dict = {
+        0: {
+            1: ((2,), TestResult(0.0, 1.0, 1, False), (10, 0.2)),
+            2: ((3, 4, 5), TestResult(0.1, 0.2, 3, True), (1000, 1.0)),
+        }
+    }
+    unf_dict = {
+        0: HitonState("I", {}, {}, [6, 7, 8], {}),
+        1: HitonState("E", {}, {}, [10], {}),
+    }
+    det = FWResult(
+        LGLResult(net_result.graph, rej_dict, unf_dict),
+        variable_ids=net_result.variable_ids,
+        meta_variable_mask=net_result.meta_variable_mask,
+    )
+    path = str(tmp_path / "net.edgelist")
+    fio.save_network(path, det, detailed=True)
+
+    rej_ld = fio.load_rejections(str(tmp_path / "net_rejections.tsv"))
+    for A, d in rej_ld.items():
+        for B, (Zs, tres, pair) in d.items():
+            eZs, etres, epair = rej_dict[A][B]
+            assert Zs == eZs
+            assert np.isclose(tres.stat, etres.stat)
+            assert np.isclose(tres.pval, etres.pval)
+            assert tres.df == etres.df and tres.suff_power == etres.suff_power
+            assert pair == epair
+
+    unf_ld = fio.load_unfinished_variable_info(str(tmp_path / "net_unchecked.tsv"))
+    for A, rec in unf_ld.items():
+        assert rec["phase"] == unf_dict[A].phase
+        assert rec["unchecked_vars"] == unf_dict[A].unchecked_vars
+
+
+@pytest.fixture(scope="module")
+def tiny_expected():
+    raw = [
+        l.rstrip("\n").split("\t")
+        for l in open(reference_data_path("HMP_SRA_gut", "HMP_SRA_gut_small.tsv"))
+    ]
+    header = raw[0][1:20]
+    data = np.array([r[1:20] for r in raw[1:20]], dtype=np.float64)
+    meta_raw = [
+        l.rstrip("\n").split("\t")
+        for l in open(reference_data_path("HMP_SRA_gut", "HMP_SRA_gut_tiny_meta.tsv"))
+    ]
+    meta_header = meta_raw[0]
+    meta_data = np.array(meta_raw[1:], dtype=np.float64)
+    return data, header, meta_data, meta_header
+
+
+@requires_reference_data
+@pytest.mark.parametrize("data_suff,meta_suff", [
+    (".tsv", "_meta.tsv"),
+    ("_ids.tsv", "_meta.csv"),
+    (".csv", "_meta.csv"),
+    ("_json.biom", "_meta.tsv"),
+    ("_hdf5.biom", "_meta.tsv"),
+])
+def test_table_data(tiny_expected, data_suff, meta_suff):
+    # reference: test/io.jl:86-106
+    data, header, meta_data, meta_header = tiny_expected
+    data_path = reference_data_path("HMP_SRA_gut", "HMP_SRA_gut_tiny" + data_suff)
+    meta_path = reference_data_path("HMP_SRA_gut", "HMP_SRA_gut_tiny" + meta_suff)
+    d, h, md, mh = fio.load_data(data_path, meta_path)
+    np.testing.assert_array_equal(np.asarray(d, dtype=np.float64), data)
+    assert h == header
+    np.testing.assert_array_equal(np.asarray(md, dtype=np.float64), meta_data)
+    assert mh == meta_header
+
+
+@requires_reference_data
+def test_transposed(tiny_expected):
+    # reference: test/io.jl:109-129
+    data, header, meta_data, meta_header = tiny_expected
+    d, h, md, mh = fio.load_data(
+        reference_data_path("HMP_SRA_gut", "HMP_SRA_gut_tiny_ids_transposed.tsv"),
+        reference_data_path("HMP_SRA_gut", "HMP_SRA_gut_tiny_meta_transposed.tsv"),
+        transposed=True,
+    )
+    np.testing.assert_array_equal(np.asarray(d, dtype=np.float64), data)
+    assert h == header
+    np.testing.assert_array_equal(np.asarray(md, dtype=np.float64), meta_data)
+    assert mh == meta_header
+
+
+@requires_reference_data
+def test_string_factors(tiny_expected):
+    # reference: test/io.jl:132-141
+    data, header, _, _ = tiny_expected
+    d, h, md, mh = fio.load_data(
+        reference_data_path("HMP_SRA_gut", "HMP_SRA_gut_tiny_ids.tsv"),
+        reference_data_path("HMP_SRA_gut", "HMP_SRA_gut_tiny_meta_oneHotTest.tsv"),
+    )
+    np.testing.assert_array_equal(np.asarray(d, dtype=np.float64), data)
+    assert h == header
+    assert md.shape[1] == 6
+    assert any(isinstance(x, str) for x in md[0])
+
+
+@requires_reference_data
+def test_numeric_ids(tiny_expected):
+    # reference: test/io.jl:143-148
+    data, header, _, _ = tiny_expected
+    d, h, _, _ = fio.load_data(
+        reference_data_path("HMP_SRA_gut", "HMP_SRA_gut_tiny_numIDs.tsv")
+    )
+    np.testing.assert_array_equal(np.asarray(d, dtype=np.float64), data)
+    assert h == [x[2:] for x in header]

@@ -97,6 +97,139 @@ def test_learn_network_end_to_end(hmp_small):
     assert net.rejections  # track_rejections stored
 
 
+@requires_reference_data
+@pytest.mark.parametrize("test_name,make_k", [("mi_nz", 3), ("fz", 3)])
+def test_precision_32(hmp_small, test_name, make_k):
+    # float32-normalized inputs must reproduce the prec=64 goldens
+    # (reference: test/learning.jl:262-273)
+    exp = expected_graph(test_name, 3)
+    n_obs_min = 160 if test_name.startswith("mi") else -1
+    pred = make_network(hmp_small, test_name, prec=32, max_k=3,
+                        parallel="single_il", time_limit=0.0,
+                        n_obs_min=n_obs_min)
+    assert compare_graph_results(exp, pred, rtol=1e-2, atol=0.0, approx=True,
+                                 approx_nbr_diff=0,
+                                 approx_weight_meandiff=0.05, verbose=True)
+
+
+@requires_reference_data
+def test_from_file_and_transposed():
+    # reference: test/learning.jl:318-349
+    trunk = reference_data_path("HMP_SRA_gut", "HMP_SRA_gut_tiny")
+    g_plain = get_graph(learn_network(
+        trunk + ".tsv", trunk + "_meta.tsv", sensitive=True,
+        heterogeneous=False, max_k=3, verbose=False, n_obs_min=0,
+    ))
+    g_transp = get_graph(learn_network(
+        trunk + "_ids_transposed.tsv", trunk + "_meta_transposed.tsv",
+        sensitive=True, heterogeneous=False, max_k=3, verbose=False,
+        transposed=True, n_obs_min=0,
+    ))
+    assert compare_graph_results(g_plain, g_transp, rtol=1e-2, approx=True,
+                                 approx_nbr_diff=0,
+                                 approx_weight_meandiff=0.05, verbose=True)
+
+
+@requires_reference_data
+@pytest.mark.parametrize("sensitive", [True, False])
+@pytest.mark.parametrize("heterogeneous", [True, False])
+def test_one_hot_meta_learning(sensitive, heterogeneous):
+    # reference: test/learning.jl:351-366
+    trunk = reference_data_path("HMP_SRA_gut", "HMP_SRA_gut_tiny")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        net = learn_network(
+            trunk + ".tsv", trunk + "_meta_oneHotTest.tsv",
+            sensitive=sensitive, heterogeneous=heterogeneous, max_k=3,
+            verbose=False, n_obs_min=0,
+        )
+    assert isinstance(repr(get_graph(net)), str)
+
+
+@requires_reference_data
+def test_multi_experiment(hmp_small):
+    # multi-dataset entry: independent normalization + row alignment
+    # (reference: src/learning.jl:378-402, fixtures *_multiexp{1,2}.tsv)
+    p1 = reference_data_path("HMP_SRA_gut", "HMP_SRA_gut_small_multiexp1.tsv")
+    p2 = reference_data_path("HMP_SRA_gut", "HMP_SRA_gut_small_multiexp2.tsv")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        net = learn_network([p1, p2], sensitive=True, heterogeneous=False,
+                            max_k=1, verbose=False)
+    g = get_graph(net)
+    assert g.n_nodes == len(net.variable_ids)
+    assert g.n_edges() > 0
+
+
+@requires_reference_data
+def test_fast_elim_off(hmp_small):
+    # smoke (reference: test/learning.jl:386-389)
+    net = learn_network(hmp_small, sensitive=True, heterogeneous=False,
+                        max_k=3, fast_elim=False, verbose=False, prec=64)
+    assert get_graph(net).n_edges() > 0
+
+
+@requires_reference_data
+def test_duplicates(hmp_small):
+    # duplicated variables must not produce zero-weight edges
+    # (reference: test/learning.jl:391-398)
+    dupl = np.hstack([hmp_small, hmp_small[:, :5]])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        net = learn_network(dupl, verbose=False, prec=64)
+    assert all(w != 0.0 for _, _, w in get_graph(net).edges())
+
+
+@requires_reference_data
+def test_convergence_smoke(hmp_small):
+    # near-instant convergence threshold produces unfinished 'C' states
+    # (reference: test/learning.jl:400-406)
+    norm = pp.preprocess_data_default(hmp_small, "fz", verbose=False, prec=64)
+    res = LGL(norm.data, test_name="fz", max_k=3, parallel="multi_il",
+              convergence_threshold=np.inf, time_limit=1e-8,
+              update_interval=0.001, verbose=False)
+    from flashweave_tpu.types import FWResult
+
+    net = FWResult(res)
+    assert isinstance(repr(net), str)
+
+
+@requires_reference_data
+@pytest.mark.parametrize("test_name", ["mi", "mi_nz", "fz", "fz_nz"])
+@pytest.mark.parametrize("cut_branches", [True, False])
+def test_bnb_heuristic(hmp_small, test_name, cut_branches):
+    # smoke (reference: test/learning.jl:416-435)
+    n_obs_min = 160 if test_name.startswith("mi") else -1
+    g = make_network(hmp_small, test_name, max_k=3, parallel="single",
+                     time_limit=0.0, bnb=True, cut_test_branches=cut_branches,
+                     n_obs_min=n_obs_min)
+    # mi_nz is legitimately (near-)empty on this small table (the reference
+    # golden exp_mi_nz_maxk3 has 0 edges); bnb must simply run through
+    exp_edges = expected_graph(test_name, 3).n_edges()
+    assert g.n_edges() > 0 or exp_edges == 0
+
+
+@requires_reference_data
+def test_nonzero_variables():
+    # variables observed everywhere are handled (reference: test/learning.jl:447-474)
+    rng = np.random.default_rng(1234)
+    A = rng.integers(1, 1001, (100, 10)).astype(np.float64)
+    A[rng.random((100, 10)) < 0.5] = 0
+    A[:, -1] += 1
+    for sensitive in [True, False]:
+        for heterogeneous in [True, False]:
+            for max_k in [0, 1]:
+                n_obs_min = 40 if (heterogeneous and max_k == 1) else -1
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    net = learn_network(
+                        A, sensitive=sensitive, heterogeneous=heterogeneous,
+                        max_k=max_k, verbose=False, normalize=True,
+                        n_obs_min=n_obs_min, prec=64,
+                    )
+                assert net.graph.n_nodes > 0
+
+
 def test_meta_conditioning():
     # injected confounder must explain away duplicate-OTU edges
     # (reference: test/learning.jl:141-174)
