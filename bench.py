@@ -1,16 +1,19 @@
 """Benchmark: conditional-independence test throughput per chip.
 
 Measures the framework's hottest path -- the fused mi_nz all-pairs univariate
-kernel (one-hot contingency matmuls on the MXU + vectorized signed G-test
-statistics + chi2 p-values, fully on device in f32) -- plus the batched
-conditional-test kernel, on synthetic data sized like a production OTU table
-slice.
+pipeline (one-hot contingency tables via bf16 Pallas matmuls on the MXU +
+vectorized signed G-test statistics + chi2 p-values, fully on device) on
+synthetic data sized like a production OTU table slice.
+
+Timing methodology: the kernel is iterated inside a jitted lax.fori_loop with
+a data dependency between iterations and a single scalar pulled to host, so
+the measurement is robust against async dispatch (the axon tunnel's
+block_until_ready is unreliable).
 
 The reference (FlashWeave.jl) publishes no quantitative numbers
 (BASELINE.md); `vs_baseline` is reported against the documented working
 assumption of 1e6 univariate CI tests/sec for the reference's optimized
-single-core sparse kernels (NEWS.md qualifies them only as "strongly
-sped-up").
+single-core sparse kernels.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,51 +26,76 @@ import numpy as np
 ASSUMED_REFERENCE_TESTS_PER_SEC = 1.0e6
 
 
+def device_loop_time(fn, x, iters=10):
+    """Mean per-iteration wall time of fn(x) with iteration-chained
+    dependencies executed in one jitted loop."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def loop(x):
+        def body(i, carry):
+            x, acc = carry
+            out = fn(x)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            s = leaf.ravel()[0].astype(jnp.float32)
+            return (x + 0.0 * s, acc + s)
+
+        _, acc = lax.fori_loop(0, iters, body, (x, jnp.float32(0.0)))
+        return acc
+
+    float(loop(x))  # compile + warm
+    t0 = time.perf_counter()
+    float(loop(x))
+    return (time.perf_counter() - t0) / iters
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/fw_tpu_jax_cache_bench")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+    from flashweave_tpu.ops import statfuns as sf
     from flashweave_tpu.ops.contingency import pair_ctab_block
     from flashweave_tpu.ops.univariate import mi_block_stats
-    from flashweave_tpu.ops import statfuns as sf
+    from flashweave_tpu.ops import pallas_kernels as pk
 
-    n, p, L = 4096, 2048, 3
-    tile = 512
+    n, p, L = 8192, 2048, 3
     rng = np.random.default_rng(0)
     # zero-inflated 3-level data like a binned OTU table
     data = rng.integers(0, L, (n, p)).astype(np.float32)
     data[rng.random((n, p)) < 0.4] = 0.0
     levels = np.full(p, 3, np.int32)
     maxv = np.full(p, 2, np.int32)
+    on_tpu = jax.default_backend() == "tpu"
 
-    data_j = jax.device_put(jnp.asarray(data))
-
-    def univar_block(start):
-        ctab = pair_ctab_block(data_j, start, tile, L)
+    def univar_pipeline(d):
+        if on_tpu:
+            ct = pk.mi_pair_ctabs(d, L)
+            ctab = jnp.transpose(ct.reshape(L, L, p, p), (2, 3, 0, 1))
+        else:
+            ctab = pair_ctab_block(d, 0, p, L)
         stat, df, n_obs, suff = mi_block_stats(
-            ctab, levels[start:start + tile], levels, maxv[start:start + tile],
-            maxv, 5.0, 20.0, True, L,
+            ctab, levels, levels, maxv, maxv, 5.0, 20.0, True, L
         )
         pval = sf.mi_pval(stat, df, n_obs, xp=jnp)
         return stat, pval, suff
 
-    # warmup / compile
-    for s in range(0, p, tile):
-        out = univar_block(s)
-    jax.block_until_ready(out)
-
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        outs = [univar_block(s) for s in range(0, p, tile)]
-        jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / iters
+    d = jax.device_put(jnp.asarray(data))
+    dt = device_loop_time(univar_pipeline, d, iters=10)
 
     n_tests = p * p  # full pair matrix per sweep
     tests_per_sec = n_tests / dt
 
     result = {
-        "metric": "univariate CI tests/sec/chip (mi_nz G-test, n=4096 samples)",
+        "metric": "univariate CI tests/sec/chip (mi_nz G-test, n=8192 samples)",
         "value": round(tests_per_sec, 1),
         "unit": "tests/s",
         "vs_baseline": round(tests_per_sec / ASSUMED_REFERENCE_TESTS_PER_SEC, 3),
