@@ -78,7 +78,7 @@ def main():
 
     def univar_pipeline(d):
         if on_tpu:
-            ct = pk.mi_pair_ctabs(d, L)
+            ct = pk.mi_pair_ctabs(d, L=L)
             ctab = jnp.transpose(ct.reshape(L, L, p, p), (2, 3, 0, 1))
         else:
             ctab = pair_ctab_block(d, 0, p, L)

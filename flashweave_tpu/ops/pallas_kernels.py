@@ -62,32 +62,56 @@ def _moments_kernel(a_ref, b_ref, n_ref, sx_ref, sy_ref, sxx_ref, syy_ref,
     sxy_ref[:] += dot(a, b)
 
 
+def _pad_rows(x, tn, fill):
+    n = x.shape[0]
+    pad = (-n) % tn
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)), constant_values=fill)
+    return x
+
+
+def _pad_cols(x, t, fill):
+    p = x.shape[1]
+    pad = (-p) % t
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=fill)
+    return x
+
+
 @partial(jax.jit, static_argnames=("tx", "ty", "tn"))
-def fz_nz_moments(data, tx=256, ty=256, tn=512):
-    """All-pairs masked moments: returns (N, Sx, Sy, Sxx, Syy, Sxy), each
-    (p, p), over rows where both variables are nonzero.  Shapes must be
-    multiples of the tile sizes (the driver pads)."""
-    n, p = data.shape
-    grid = (p // tx, p // ty, n // tn)
-    out_shape = [jax.ShapeDtypeStruct((p, p), jnp.float32)] * 6
+def fz_nz_moments(a, b, tx=256, ty=256, tn=512):
+    """Masked moments of an X-set against a Y-set: returns
+    (N, Sx, Sy, Sxx, Syy, Sxy), each (pa, pb), over rows where both are
+    nonzero.  Inputs are padded internally (pad rows are all-zero, hence
+    masked out)."""
+    pa0, pb0 = a.shape[1], b.shape[1]
+    a = _pad_cols(_pad_rows(a, tn, 0.0), tx, 0.0)
+    b = _pad_cols(_pad_rows(b, tn, 0.0), ty, 0.0)
+    n, pa = a.shape
+    pb = b.shape[1]
+    grid = (pa // tx, pb // ty, n // tn)
+    out_shape = [jax.ShapeDtypeStruct((pa, pb), jnp.float32)] * 6
     in_spec_a = pl.BlockSpec((tn, tx), lambda i, j, k: (k, i))
     in_spec_b = pl.BlockSpec((tn, ty), lambda i, j, k: (k, j))
     out_spec = pl.BlockSpec((tx, ty), lambda i, j, k: (i, j))
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         _moments_kernel,
         grid=grid,
         in_specs=[in_spec_a, in_spec_b],
         out_specs=[out_spec] * 6,
         out_shape=out_shape,
         interpret=_interpret(),
-    )(data, data)
+    )(a, b)
+    return tuple(o[:pa0, :pb0] for o in outs)
 
 
 @partial(jax.jit, static_argnames=("tx", "ty", "tn"))
-def fz_nz_stats_pallas(data, tx=256, ty=256, tn=512):
+def fz_nz_stats_pallas(a, b=None, tx=256, ty=256, tn=512):
     """Masked pairwise correlations + joint counts via the fused moment
     kernel; semantics identical to ops.univariate.fz_nz_block."""
-    N, Sx, Sy, Sxx, Syy, Sxy = fz_nz_moments(data, tx=tx, ty=ty, tn=tn)
+    if b is None:
+        b = a
+    N, Sx, Sy, Sxx, Syy, Sxy = fz_nz_moments(a, b, tx=tx, ty=ty, tn=tn)
     safe_n = jnp.where(N > 0, N, 1.0)
     cov = Sxy - Sx * Sy / safe_n
     varx = Sxx - Sx * Sx / safe_n
@@ -129,12 +153,19 @@ def _make_ctab_kernel(L):
 
 
 @partial(jax.jit, static_argnames=("L", "tx", "ty", "tn"))
-def mi_pair_ctabs(data, L, tx=256, ty=256, tn=512):
-    """All-pairs contingency planes: returns (L*L, p, p) float32 where plane
-    a*L+b holds #rows with X==a and Y==b.  Shapes must be tile multiples."""
-    n, p = data.shape
-    grid = (p // tx, p // ty, n // tn)
-    return pl.pallas_call(
+def mi_pair_ctabs(a, b=None, L=3, tx=256, ty=256, tn=512):
+    """Contingency planes of an X-set against a Y-set: returns
+    (L*L, pa, pb) float32 where plane a*L+b holds #rows with X==a and Y==b.
+    Inputs are padded internally; pad cells hold value -1 and match no level."""
+    if b is None:
+        b = a
+    pa0, pb0 = a.shape[1], b.shape[1]
+    a = _pad_cols(_pad_rows(a, tn, -1.0), tx, -1.0)
+    b = _pad_cols(_pad_rows(b, tn, -1.0), ty, -1.0)
+    n, pa = a.shape
+    pb = b.shape[1]
+    grid = (pa // tx, pb // ty, n // tn)
+    out = pl.pallas_call(
         _make_ctab_kernel(L),
         grid=grid,
         in_specs=[
@@ -142,6 +173,25 @@ def mi_pair_ctabs(data, L, tx=256, ty=256, tn=512):
             pl.BlockSpec((tn, ty), lambda i, j, k: (k, j)),
         ],
         out_specs=pl.BlockSpec((L * L, tx, ty), lambda i, j, k: (0, i, j)),
-        out_shape=jax.ShapeDtypeStruct((L * L, p, p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((L * L, pa, pb), jnp.float32),
         interpret=_interpret(),
-    )(data, data)
+    )(a, b)
+    return out[:, :pa0, :pb0]
+
+
+@partial(jax.jit, static_argnames=("tile", "L"))
+def pair_ctab_block_pallas(data, start, tile, L):
+    """Drop-in for ops.contingency.pair_ctab_block on TPU: (tile, p, L, L)
+    tables of an X-block against all variables via the fused kernel."""
+    n, p = data.shape
+    block = jax.lax.dynamic_slice(data, (0, start), (n, tile))
+    ct = mi_pair_ctabs(block, data, L=L)
+    return jnp.transpose(ct.reshape(L, L, tile, p), (2, 3, 0, 1))
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def fz_nz_block_pallas(data, start, tile):
+    """Drop-in for ops.univariate.fz_nz_block on TPU."""
+    n, p = data.shape
+    block = jax.lax.dynamic_slice(data, (0, start), (n, tile))
+    return fz_nz_stats_pallas(block, data)

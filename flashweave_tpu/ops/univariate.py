@@ -248,11 +248,17 @@ def pw_univar_neighbors(
         suff_m = np.empty((p_int, p_int), dtype=bool)
         levels_np = np.asarray(levels, dtype=np.int32)
         maxv_np = np.asarray(max_vals, dtype=np.int32)
+        use_pallas = jax.default_backend() == "tpu" and mesh is None
         for start in range(0, p_int, tile_sz):
             t = min(tile_sz, p_int - start)
             # fixed tile size for jit cache: pad the final block
             s = start if t == tile_sz else max(0, p_int - tile_sz)
-            ctab = pair_ctab_block(data_j, s, tile_sz, L)
+            if use_pallas:
+                from .pallas_kernels import pair_ctab_block_pallas
+
+                ctab = pair_ctab_block_pallas(data_j, s, tile_sz, L)
+            else:
+                ctab = pair_ctab_block(data_j, s, tile_sz, L)
             stat, df, n_obs, suff = mi_block_stats(
                 ctab, levels_np[s : s + tile_sz], levels_np,
                 maxv_np[s : s + tile_sz], maxv_np, float(hps),
@@ -285,10 +291,16 @@ def pw_univar_neighbors(
         tile_sz = _choose_tile(p_int, tile)
         stats_m = np.empty((p_int, p_int))
         nobs_m = np.empty((p_int, p_int), dtype=np.int64)
+        use_pallas = jax.default_backend() == "tpu" and mesh is None
         for start in range(0, p_int, tile_sz):
             t = min(tile_sz, p_int - start)
             s = start if t == tile_sz else max(0, p_int - tile_sz)
-            r, N = fz_nz_block(data_j, s, tile_sz)
+            if use_pallas:
+                from .pallas_kernels import fz_nz_block_pallas
+
+                r, N = fz_nz_block_pallas(data_j, s, tile_sz)
+            else:
+                r, N = fz_nz_block(data_j, s, tile_sz)
             stats_m[s : s + tile_sz] = np.asarray(r, dtype=np.float64)
             nobs_m[s : s + tile_sz] = np.asarray(N, dtype=np.int64)
         stats = stats_m[iu, ju]
