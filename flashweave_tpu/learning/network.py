@@ -135,7 +135,11 @@ def learn_network(
     test_name = cont_mode + het_mode
 
     if parallel_mode == "auto":
-        parallel_mode = "single_il"
+        # reference: multi_il iff worker processes exist (src/learning.jl:486);
+        # here: iff more than one device is visible
+        import jax
+
+        parallel_mode = "multi_il" if len(jax.devices()) > 1 else "single_il"
     elif parallel_mode not in VALID_PARALLEL_MODES:
         raise ValueError(
             f'"{parallel_mode}" not a valid parallelization mode, choose one '

@@ -155,6 +155,42 @@ def condensed_index(p: int):
     return iu
 
 
+def condensed_pos(X, Y, p):
+    """Row-major condensed position of pair (X < Y) in the n_pairs vector."""
+    X = np.asarray(X, dtype=np.int64)
+    Y = np.asarray(Y, dtype=np.int64)
+    return X * (2 * p - X - 1) // 2 + (Y - X - 1)
+
+
+def condensed_to_pair(idx, p):
+    """Inverse of condensed_pos (vectorized), avoiding O(p^2) index tables."""
+    idx = np.asarray(idx, dtype=np.int64)
+    # solve X(2p - X - 1)/2 <= idx: X = floor((2p-1 - sqrt((2p-1)^2-8idx))/2)
+    disc = (2 * p - 1) ** 2 - 8 * idx.astype(np.float64)
+    X = ((2 * p - 1 - np.sqrt(disc)) / 2).astype(np.int64)
+    # fp-correct the boundary
+    for _ in range(2):
+        base = X * (2 * p - X - 1) // 2
+        X = np.where(base > idx, X - 1, X)
+        base = X * (2 * p - X - 1) // 2
+        too_low = idx - base >= (p - 1 - X)
+        X = np.where(too_low, X + 1, X)
+    base = X * (2 * p - X - 1) // 2
+    Y = idx - base + X + 1
+    return X, Y
+
+
+def _condense_block(s, t, p, blocks, outs):
+    """Scatter a (tile, p_int) block slab's X<Y entries (Y < p) into the
+    condensed output vectors."""
+    rows, cols = np.nonzero(
+        (np.arange(s, s + t)[:, None] < np.arange(p)[None, :])
+    )
+    pos = condensed_pos(rows + s, cols, p)
+    for blk, out in zip(blocks, outs):
+        out[pos] = blk[rows, cols]
+
+
 class UnivarResult:
     """All-pairs statistics in condensed (X < Y) layout."""
 
@@ -169,14 +205,14 @@ class UnivarResult:
         the caller (reference: src/tests.jl:372-388)."""
         p = self.p
         nbr = {X: {} for X in range(p)}
-        iu, ju = condensed_index(p)
         with np.errstate(invalid="ignore"):
             sig = self.pvals < alpha        # NaN -> False
-        for idx in np.nonzero(sig)[0]:
-            X, Y = int(iu[idx]), int(ju[idx])
+        sig_idx = np.nonzero(sig)[0]
+        Xs, Ys = condensed_to_pair(sig_idx, p)
+        for idx, X, Y in zip(sig_idx, Xs, Ys):
             entry = (float(self.stats[idx]), float(self.pvals[idx]))
-            nbr[X][Y] = entry
-            nbr[Y][X] = entry
+            nbr[int(X)][int(Y)] = entry
+            nbr[int(Y)][int(X)] = entry
         return nbr
 
 
@@ -208,7 +244,6 @@ def pw_univar_neighbors(
     nz = is_zero_adjusted(test_name)
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     n_pairs = p * (p - 1) // 2
-    iu, ju = condensed_index(p)
 
     # pad the variable axis for even device sharding; padded columns are
     # all-zero and their pair results are discarded below
@@ -242,10 +277,10 @@ def pw_univar_neighbors(
         L = int(np.max(max_vals)) + 1
         data_j = _put(data)
         tile_sz = _choose_tile(p_int, tile)
-        stats_m = np.empty((p_int, p_int))
-        df_m = np.empty((p_int, p_int), dtype=np.int64)
-        nobs_m = np.empty((p_int, p_int), dtype=np.int64)
-        suff_m = np.empty((p_int, p_int), dtype=bool)
+        stats = np.empty(n_pairs)
+        df_c = np.empty(n_pairs, dtype=np.int64)
+        nobs_c = np.empty(n_pairs, dtype=np.int64)
+        suff = np.empty(n_pairs, dtype=bool)
         levels_np = np.asarray(levels, dtype=np.int32)
         maxv_np = np.asarray(max_vals, dtype=np.int32)
         use_pallas = jax.default_backend() == "tpu" and mesh is None
@@ -259,28 +294,27 @@ def pw_univar_neighbors(
                 ctab = pair_ctab_block_pallas(data_j, s, tile_sz, L)
             else:
                 ctab = pair_ctab_block(data_j, s, tile_sz, L)
-            stat, df, n_obs, suff = mi_block_stats(
+            stat, df, n_obs, sp = mi_block_stats(
                 ctab, levels_np[s : s + tile_sz], levels_np,
                 maxv_np[s : s + tile_sz], maxv_np, float(hps),
                 float(n_obs_min), nz, L,
             )
-            sl = slice(s, s + tile_sz)
-            stats_m[sl] = np.asarray(stat, dtype=np.float64)
-            df_m[sl] = np.asarray(df)
-            nobs_m[sl] = np.asarray(n_obs)
-            suff_m[sl] = np.asarray(suff)
-        stats = stats_m[iu, ju]
-        pvals = sf.mi_pval(stats, df_m[iu, ju], nobs_m[iu, ju])
-        pvals = np.where(df_m[iu, ju] > 0, pvals, 1.0)
-        pvals = np.where(suff_m[iu, ju], pvals, 1.0)
-        stats = np.where(suff_m[iu, ju], stats, 0.0)
-        suff = suff_m[iu, ju]
+            _condense_block(
+                s, tile_sz, p,
+                [np.asarray(stat, np.float64), np.asarray(df),
+                 np.asarray(n_obs), np.asarray(sp)],
+                [stats, df_c, nobs_c, suff],
+            )
+        pvals = sf.mi_pval(stats, df_c, nobs_c)
+        pvals = np.where(df_c > 0, pvals, 1.0)
+        pvals = np.where(suff, pvals, 1.0)
+        stats = np.where(suff, stats, 0.0)
     elif test_name == "fz":
         if cor_mat is not None and cor_mat.size:
             C = np.asarray(cor_mat, dtype=np.float64)[:p, :p]
         else:
             C = np.asarray(cor_matrix(_put(data)), dtype=np.float64)[:p, :p]
-        stats = C[iu, ju]
+        stats = C[np.triu_indices(p, 1)]
         n_obs = np.full(n_pairs, n)
         suff = n_obs >= n_obs_min
         pvals = sf.fz_pval(stats, n_obs, 0)
@@ -289,8 +323,8 @@ def pw_univar_neighbors(
     elif test_name == "fz_nz":
         data_j = _put(data)
         tile_sz = _choose_tile(p_int, tile)
-        stats_m = np.empty((p_int, p_int))
-        nobs_m = np.empty((p_int, p_int), dtype=np.int64)
+        stats = np.empty(n_pairs)
+        n_obs = np.empty(n_pairs, dtype=np.int64)
         use_pallas = jax.default_backend() == "tpu" and mesh is None
         for start in range(0, p_int, tile_sz):
             t = min(tile_sz, p_int - start)
@@ -301,10 +335,11 @@ def pw_univar_neighbors(
                 r, N = fz_nz_block_pallas(data_j, s, tile_sz)
             else:
                 r, N = fz_nz_block(data_j, s, tile_sz)
-            stats_m[s : s + tile_sz] = np.asarray(r, dtype=np.float64)
-            nobs_m[s : s + tile_sz] = np.asarray(N, dtype=np.int64)
-        stats = stats_m[iu, ju]
-        n_obs = nobs_m[iu, ju]
+            _condense_block(
+                s, tile_sz, p,
+                [np.asarray(r, np.float64), np.asarray(N, np.int64)],
+                [stats, n_obs],
+            )
         # n_obs < n_obs_min -> stat forced to 0 (reference src/tests.jl:121-125)
         stats = np.where(n_obs >= n_obs_min, stats, 0.0)
         suff = n_obs >= n_obs_min
