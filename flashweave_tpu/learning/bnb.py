@@ -83,9 +83,11 @@ def bnb_test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
         Zarr = np.zeros((1, cfg.max_k), np.int32)
         Zarr[0, :k] = Zs
         if cfg.discrete:
-            res = yield ("mi", np.array([T], np.int32), np.array([cand], np.int32),
-                         Zarr, np.array([k], np.int32))
-            return res[0]
+            stat, pval, df, suff = yield (
+                "mi", np.array([T], np.int32), np.array([cand], np.int32),
+                Zarr, np.array([k], np.int32))
+            return TestResult(float(stat[0]), float(pval[0]), int(df[0]),
+                              bool(suff[0]))
         if positions is None:
             pos_X, pos_Y = np.array([T]), np.array([cand])
             pos_Z = Zarr.astype(np.int64)

@@ -138,7 +138,7 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
             for i, Zs in enumerate(chunk):
                 Zarr[i, :subset_size] = Zs
             if cfg.discrete:
-                results = yield (
+                stat_a, pval_a, df_a, suff_a = yield (
                     "mi",
                     np.full(B, T, np.int32),
                     np.full(B, cand, np.int32),
@@ -147,6 +147,10 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
                 )
             elif not engine.recursive_pcor:
                 results = engine.fz_tests_iterative(T, cand, chunk)
+                stat_a = np.array([r.stat for r in results])
+                pval_a = np.array([r.pval for r in results])
+                df_a = np.array([r.df for r in results], dtype=np.int64)
+                suff_a = np.array([r.suff_power for r in results])
             else:
                 if positions is None:
                     pos_X = np.full(B, T)
@@ -158,28 +162,51 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
                     pos_Z = np.array(
                         [[positions.get(int(v), 0) for v in row] for row in Zarr]
                     )
-                results = engine.fz_tests_from_cor(
+                stat_a, pval_a, df_a, suff_a = engine.fz_tests_from_cor_raw(
                     mcor, pos_X, pos_Y, pos_Z, kvec, mcor_nobs
                 )
-            for Zs, res in zip(chunk, results):
-                num_tests += 1
-                if (not issig(res, cfg.alpha)) or (
-                    0 < cfg.max_tests <= num_tests
-                ):
-                    for rem in range(subset_size - 1, 0, -1):
-                        num_tests_total += math.comb(len(Z_total), rem)
-                    frac = num_tests / num_tests_total
-                    if 0 < cfg.max_tests <= num_tests:
-                        warnings.warn(
-                            f"Maximum number of tests for variable pair {T} / "
-                            f"{cand} at {num_tests} out of {num_tests_total} "
-                            f"tests (fraction: {round(frac, 3)}, size of Z: "
-                            f"{len(Z_total)})."
-                        )
-                    return res, tuple(Zs), num_tests, frac
-                elif res.pval >= lowest.pval or np.isnan(lowest.pval):
-                    lowest = res
-                    lowest_Zs = tuple(Zs)
+
+            # vectorized early-exit scan in enumeration order (semantics of
+            # the sequential loop, reference src/tests.jl:311-343)
+            with np.errstate(invalid="ignore"):
+                sig = (pval_a < cfg.alpha) & suff_a
+            exit_flags = ~sig
+            if cfg.max_tests > 0:
+                exit_flags |= (num_tests + 1 + np.arange(B)) >= cfg.max_tests
+
+            def upd_lowest(upto):
+                nonlocal lowest, lowest_Zs
+                if upto == 0:
+                    return
+                m = pval_a[:upto].max()
+                if m >= lowest.pval or np.isnan(lowest.pval):
+                    # >= tie-break keeps the LAST occurrence like the
+                    # sequential update
+                    i_last = upto - 1 - int(np.argmax(pval_a[:upto][::-1] == m))
+                    lowest = TestResult(float(stat_a[i_last]),
+                                        float(pval_a[i_last]),
+                                        int(df_a[i_last]), bool(suff_a[i_last]))
+                    lowest_Zs = tuple(chunk[i_last])
+
+            if exit_flags.any():
+                e = int(np.argmax(exit_flags))
+                upd_lowest(e)
+                num_tests += e + 1
+                res = TestResult(float(stat_a[e]), float(pval_a[e]),
+                                 int(df_a[e]), bool(suff_a[e]))
+                for rem in range(subset_size - 1, 0, -1):
+                    num_tests_total += math.comb(len(Z_total), rem)
+                frac = num_tests / num_tests_total
+                if 0 < cfg.max_tests <= num_tests:
+                    warnings.warn(
+                        f"Maximum number of tests for variable pair {T} / "
+                        f"{cand} at {num_tests} out of {num_tests_total} "
+                        f"tests (fraction: {round(frac, 3)}, size of Z: "
+                        f"{len(Z_total)})."
+                    )
+                return res, tuple(chunk[e]), num_tests, frac
+            upd_lowest(B)
+            num_tests += B
 
     return lowest, lowest_Zs, num_tests, num_tests / num_tests_total
 
@@ -207,14 +234,22 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
     accepted: List[int] = list(candidates) if phase == "E" else []
 
     for ci, cand in enumerate(candidates):
+        if cfg.debug > 0:
+            print(f"\tTesting candidate {cand} ({ci + 1} out of "
+                  f"{len(candidates)}) conditioned on {accepted}, current set "
+                  f"size: {len(accepted)}")
         in_list = False
         # whitelist feed-forward (reference: src/hiton.jl:20-38)
         if whitelist is not None and cand in whitelist:
             accepted.append(cand)
             accepted_dict[cand] = (NAN, NAN)
             in_list = True
+            if cfg.debug > 0:
+                print("\tin whitelist")
         if blacklist and cand in blacklist:
             in_list = True
+            if cfg.debug > 0:
+                print("\tin blacklist")
 
         if not in_list:
             if phase == "E":
@@ -236,7 +271,11 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
             elif issig(res, cfg.alpha):
                 accepted.append(cand)
                 accepted_dict[cand] = (res.stat, res.pval)
+                if cfg.debug > 0:
+                    print(f"\taccepted: {res}")
             else:
+                if cfg.debug > 0:
+                    print(f"\trejected: {res} through Z {lowest_Zs}")
                 if phase == "E" and not cfg.fast_elim:
                     accepted.append(cand)
                 if cfg.track_rejections:

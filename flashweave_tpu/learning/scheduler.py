@@ -226,7 +226,7 @@ class RoundScheduler:
         kind = req[0]
         if kind == "mi":
             _, X, Y, Zs, kvec = req
-            return self.engine.mi_tests(X, Y, Zs, kvec)
+            return self.engine.mi_tests_raw(X, Y, Zs, kvec)
         if kind == "mcor":
             _, pair, var_list = req
             return self.engine.masked_cor([pair], [var_list])[0]
@@ -242,11 +242,11 @@ class RoundScheduler:
             Ys = np.concatenate([r[2] for _, r in mi_items])
             Zs = np.concatenate([r[3] for _, r in mi_items])
             ks = np.concatenate([r[4] for _, r in mi_items])
-            all_results = self.engine.mi_tests(Xs, Ys, Zs, ks)
+            arrays = self.engine.mi_tests_raw(Xs, Ys, Zs, ks)
             off = 0
             for T, r in mi_items:
                 b = len(r[1])
-                responses[T] = all_results[off: off + b]
+                responses[T] = tuple(a[off : off + b] for a in arrays)
                 off += b
         if mcor_items:
             pairs = [r[1] for _, r in mcor_items]

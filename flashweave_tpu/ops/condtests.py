@@ -160,21 +160,31 @@ class CondTestEngine:
 
     # -- discrete -----------------------------------------------------------
 
-    def mi_tests(self, X: np.ndarray, Y: np.ndarray, Zs: np.ndarray,
-                 kvec: np.ndarray) -> List[TestResult]:
+    def mi_tests_raw(self, X: np.ndarray, Y: np.ndarray, Zs: np.ndarray,
+                     kvec: np.ndarray):
         """Evaluate B conditional MI tests; Zs shape (B, max_k), padded with 0.
+        Returns numpy arrays (stat, pval, df, suff).
 
         Arbitrary B is processed in fixed bucket-size segments so only the
         bucket shapes in BATCH_BUCKETS are ever compiled."""
         B = len(X)
-        out: List[TestResult] = []
+        parts = []
         seg_max = BATCH_BUCKETS[-1]
         for s in range(0, B, seg_max):
             e = min(s + seg_max, B)
-            out.extend(self._mi_tests_seg(X[s:e], Y[s:e], Zs[s:e], kvec[s:e]))
-        return out
+            parts.append(self._mi_tests_seg(X[s:e], Y[s:e], Zs[s:e], kvec[s:e]))
+        if len(parts) == 1:
+            return parts[0]
+        return tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
 
-    def _mi_tests_seg(self, X, Y, Zs, kvec) -> List[TestResult]:
+    def mi_tests(self, X, Y, Zs, kvec) -> List[TestResult]:
+        stat, pval, df, suff = self.mi_tests_raw(X, Y, Zs, kvec)
+        return [
+            TestResult(float(stat[i]), float(pval[i]), int(df[i]), bool(suff[i]))
+            for i in range(len(X))
+        ]
+
+    def _mi_tests_seg(self, X, Y, Zs, kvec):
         B = len(X)
         Bp = _bucket(B)
         Xp = np.zeros(Bp, np.int32); Xp[:B] = X
@@ -193,10 +203,7 @@ class CondTestEngine:
         n_obs = np.asarray(n_obs, np.float64)[:B]
         suff = np.asarray(suff)[:B]
         pval = np.where(suff, sf.mi_pval(stat, df, n_obs), 1.0)
-        return [
-            TestResult(float(stat[i]), float(pval[i]), int(df[i]), bool(suff[i]))
-            for i in range(B)
-        ]
+        return stat, pval, df, suff
 
     # -- continuous ---------------------------------------------------------
 
@@ -231,29 +238,47 @@ class CondTestEngine:
         n_obs = np.asarray(n_obs, np.float64)
         return [(C[i], float(n_obs[i])) for i in range(B)]
 
-    def fz_tests_from_cor(self, C: np.ndarray, pos_X: np.ndarray,
-                          pos_Y: np.ndarray, pos_Zs: np.ndarray,
-                          kvec: np.ndarray, n_obs: float) -> List[TestResult]:
+    def fz_tests_from_cor_raw(self, C: np.ndarray, pos_X: np.ndarray,
+                              pos_Y: np.ndarray, pos_Zs: np.ndarray,
+                              kvec: np.ndarray, n_obs: float):
         """Partial-correlation tests from a single correlation matrix C
         (global for fz, per-pair masked for fz_nz).  Positions index into C.
+        Returns numpy arrays (stat, pval, df, suff).
 
         Mirrors reference src/tests.jl:250-265: suff_power is the
         n_obs >= n_obs_min check; pval uses len_z = 0.
         """
         B = len(pos_X)
         if n_obs < self.n_obs_min:
-            return [TestResult(0.0, 1.0, 0, False)] * B
-        sub = np.empty((B, self.max_k + 2, self.max_k + 2))
-        for i in range(B):
-            idx = [pos_X[i], pos_Y[i]] + [
-                pos_Zs[i][j] if j < kvec[i] else pos_X[i]
-                for j in range(self.max_k)
-            ]
-            sub[i] = C[np.ix_(idx, idx)]
-        stat = sf.pcor_dp(sub, np.asarray(kvec), self.max_k, xp=np)
+            return (np.zeros(B), np.ones(B), np.zeros(B, np.int64),
+                    np.zeros(B, bool))
+        kvec = np.asarray(kvec, dtype=np.int64)
+        pos_Zs = np.asarray(pos_Zs, dtype=np.int64)
+        # gather (max_k+2)^2 submatrices: idx[b] = [X, Y, Z_1..Z_maxk(padded X)]
+        pad = np.where(
+            np.arange(self.max_k)[None, :] < kvec[:, None],
+            pos_Zs[:, : self.max_k],
+            np.asarray(pos_X, dtype=np.int64)[:, None],
+        )
+        idx = np.concatenate(
+            [np.asarray(pos_X)[:, None], np.asarray(pos_Y)[:, None], pad],
+            axis=1,
+        )
+        sub = C[idx[:, :, None], idx[:, None, :]]
+        stat = sf.pcor_dp(sub, kvec, self.max_k, xp=np)
         pval = sf.fz_pval(stat, n_obs, 0)
+        return (stat, np.asarray(pval), np.zeros(B, np.int64),
+                np.ones(B, bool))
+
+    def fz_tests_from_cor(self, C, pos_X, pos_Y, pos_Zs, kvec,
+                          n_obs: float) -> List[TestResult]:
+        stat, pval, df, suff = self.fz_tests_from_cor_raw(
+            C, pos_X, pos_Y, pos_Zs, kvec, n_obs
+        )
         return [
-            TestResult(float(stat[i]), float(pval[i]), 0, True) for i in range(B)
+            TestResult(float(stat[i]), float(pval[i]), int(df[i]),
+                       bool(suff[i]))
+            for i in range(len(pos_X))
         ]
 
     def _shard_batch(self, *arrays):

@@ -210,6 +210,15 @@ def test_bnb_heuristic(hmp_small, test_name, cut_branches):
 
 
 @requires_reference_data
+def test_debug_trace(hmp_small, capsys):
+    # debug trace smoke (reference: test/learning.jl:408-413)
+    make_network(hmp_small[:, :15], "fz", max_k=1, parallel="single",
+                 time_limit=0.0, debug=1)
+    out = capsys.readouterr().out
+    assert "Testing candidate" in out
+
+
+@requires_reference_data
 def test_nonzero_variables():
     # variables observed everywhere are handled (reference: test/learning.jl:447-474)
     rng = np.random.default_rng(1234)
