@@ -386,6 +386,48 @@ def si_hiton_pc_gen(T: int, cfg: HitonConfig, engine,
     return _make_final_state(prev_state, PC_dict, TPC_dict, rej_dict)
 
 
+def si_hiton_pc(T: int, data, test_name: str = "mi", **kwargs) -> HitonState:
+    """Convenience wrapper: learn the local neighborhood of one variable
+    (reference: src/hiton.jl:403-409).  Runs the univariate pass, then drives
+    the search generator to completion with a local engine."""
+    import numpy as np
+
+    from ..ops.condtests import CondTestEngine
+    from ..ops.univariate import cor_matrix, pw_univar_neighbors
+    from ..utils.misc import get_levels, get_max_vals, isdiscrete
+
+    data = np.asarray(data)
+    cfg_keys = {f.name for f in __import__("dataclasses").fields(HitonConfig)}
+    cfg = HitonConfig(test_name=test_name,
+                      **{k: v for k, v in kwargs.items() if k in cfg_keys})
+    levels = max_vals = None
+    cor_mat = None
+    if isdiscrete(test_name):
+        levels = get_levels(data)
+        max_vals = get_max_vals(data)
+    elif test_name == "fz":
+        cor_mat = np.asarray(cor_matrix(data), dtype=np.float64)
+    univar = pw_univar_neighbors(
+        data, test_name=test_name, alpha=cfg.alpha, hps=cfg.hps,
+        n_obs_min=cfg.n_obs_min, levels=levels, max_vals=max_vals,
+        cor_mat=cor_mat,
+    )
+    engine = CondTestEngine(data, test_name, cfg.max_k, levels=levels,
+                            max_vals=max_vals, cor_mat=cor_mat, hps=cfg.hps,
+                            n_obs_min=cfg.n_obs_min)
+    gen = si_hiton_pc_gen(T, cfg, engine, univar[T])
+    resp = None
+    while True:
+        try:
+            req = gen.send(resp)
+        except StopIteration as stop:
+            return stop.value
+        if req[0] == "mi":
+            resp = engine.mi_tests_raw(req[1], req[2], req[3], req[4])
+        else:
+            resp = engine.masked_cor([req[1]], [req[2]])[0]
+
+
 def _make_final_state(prev_state: HitonState, PC_dict, TPC_dict,
                       rej_dict) -> HitonState:
     # reference: src/hiton.jl:259-277

@@ -85,6 +85,23 @@ class RoundScheduler:
                 b.add(T)
                 self.n_edges += 1
 
+    def _print_network_stats(self) -> None:
+        # reference: src/misc.jl:187-198
+        import warnings
+
+        n_nodes = len(self.adj)
+        deg = np.array([len(s) for s in self.adj.values()]) if self.adj else np.zeros(1)
+        print(f"Current nodes/edges: {n_nodes} / {self.n_edges}")
+        print(
+            f"Degree stats: mean {deg.mean():.2f}, median {np.median(deg):.1f}, "
+            f"max {int(deg.max())}"
+        )
+        if np.median(deg) > n_nodes / 4:
+            warnings.warn(
+                "The network seems unusually dense (current median degree "
+                f"{np.median(deg)} across all nodes) which can lead to slow speed."
+            )
+
     # -- driving ------------------------------------------------------------
 
     def run(self) -> Dict[int, HitonState]:
@@ -179,6 +196,7 @@ class RoundScheduler:
                     f"Time passed: {int(round(now - start_time))}. "
                     f"Finished nodes: {done}. Remaining nodes: {len(active)}"
                 )
+                self._print_network_stats()
                 last_update = now
 
             # convergence check (reference: src/interleaved.jl:203-230)

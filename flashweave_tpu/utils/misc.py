@@ -61,10 +61,14 @@ def iscontinuous(test_name: str) -> bool:
 
 
 def get_levels(data: np.ndarray) -> np.ndarray:
-    """Distinct-value count per column (reference: src/misc.jl:75-81)."""
-    return np.array(
-        [len(np.unique(data[:, j])) for j in range(data.shape[1])], dtype=np.int32
-    )
+    """Distinct-value count per column (reference: src/misc.jl:75-81).
+
+    Vectorized: column-sort + run-length count, O(n p log n) without a
+    Python loop over variables."""
+    if data.shape[0] <= 1:
+        return np.full(data.shape[1], data.shape[0], dtype=np.int32)
+    s = np.sort(np.asarray(data), axis=0)
+    return (1 + (np.diff(s, axis=0) != 0).sum(axis=0)).astype(np.int32)
 
 
 def get_max_vals(data: np.ndarray) -> np.ndarray:

@@ -265,3 +265,16 @@ def test_meta_conditioning():
                 assert tri == 3, (sensitive, max_k, tri)
             else:
                 assert tri == 2, (sensitive, max_k, tri)
+
+
+@requires_reference_data
+def test_si_hiton_pc_convenience(hmp_small):
+    # single-variable neighborhood API (reference: src/hiton.jl:403-409)
+    from flashweave_tpu.learning.hiton import si_hiton_pc
+
+    data = pp.preprocess_data_default(hmp_small, "fz", verbose=False, prec=64).data
+    state = si_hiton_pc(0, data, test_name="fz", max_k=3)
+    assert state.phase == "F"
+    # neighborhood agrees with the full LGL run's neighborhood for var 0
+    g = make_network(hmp_small, "fz", max_k=3, parallel="single", time_limit=0.0)
+    assert set(state.state_results.keys()) == set(g.neighbors(0))
