@@ -37,6 +37,9 @@ from ..types import TestResult
 # batch-size buckets bound the jit cache (requests are padded up)
 BATCH_BUCKETS = (64, 256, 1024, 4096)
 
+# max elements in flight for the gathered (rows, B, m) masked-cor tensor
+MCOR_ROW_BUDGET = 1 << 26
+
 
 def _bucket(b: int) -> int:
     for s in BATCH_BUCKETS:
@@ -96,17 +99,46 @@ def _masked_cor_kernel(data, X, Y, var_idx, B, m):
     var_idx: (B, m) column sets [X, Y, Z_total...] (padded entries repeat X).
     Returns (C, n_obs): (B, m, m) correlations (NaN -> 0, reference
     src/statfuns.jl:150) and (B,) joint nonzero row counts.
+
+    Rows are processed in chunks via lax.scan when the gathered (n, B, m)
+    tensor would exceed the VMEM-friendly working-set budget.
     """
-    x = jnp.take(data, X, axis=1)
-    y = jnp.take(data, Y, axis=1)
-    mask = ((x != 0) & (y != 0)).astype(data.dtype)    # (n, B)
-    V = jnp.take(data, var_idx.reshape(-1), axis=1).reshape(
-        data.shape[0], B, m
-    )
-    Vm = V * mask[..., None]
-    n_obs = mask.sum(axis=0)                           # (B,)
-    S1 = Vm.sum(axis=0)                                # (B, m)
-    G = jnp.einsum("nbi,nbj->bij", Vm, Vm, preferred_element_type=data.dtype)
+    n = data.shape[0]
+    chunk = max(64, min(n, MCOR_ROW_BUDGET // max(B * m, 1)))
+
+    def moments(rows):
+        x = jnp.take(rows, X, axis=1)
+        y = jnp.take(rows, Y, axis=1)
+        mask = ((x != 0) & (y != 0)).astype(rows.dtype)    # (c, B)
+        V = jnp.take(rows, var_idx.reshape(-1), axis=1).reshape(
+            rows.shape[0], B, m
+        )
+        Vm = V * mask[..., None]
+        return (
+            mask.sum(axis=0),
+            Vm.sum(axis=0),
+            jnp.einsum("nbi,nbj->bij", Vm, Vm,
+                       preferred_element_type=rows.dtype),
+        )
+
+    if n <= chunk:
+        n_obs, S1, G = moments(data)
+    else:
+        n_pad = ((n + chunk - 1) // chunk) * chunk
+        data_p = jnp.pad(data, ((0, n_pad - n), (0, 0)))   # zero rows: masked out
+        chunks = data_p.reshape(n_pad // chunk, chunk, data.shape[1])
+
+        def body(carry, rows):
+            n_obs, S1, G = carry
+            dn, dS, dG = moments(rows)
+            return (n_obs + dn, S1 + dS, G + dG), None
+
+        init = (
+            jnp.zeros((B,), data.dtype),
+            jnp.zeros((B, m), data.dtype),
+            jnp.zeros((B, m, m), data.dtype),
+        )
+        (n_obs, S1, G), _ = jax.lax.scan(body, init, chunks)
     safe_n = jnp.where(n_obs > 0, n_obs, 1.0)
     mu = S1 / safe_n[:, None]
     cov = G - safe_n[:, None, None] * mu[:, :, None] * mu[:, None, :]

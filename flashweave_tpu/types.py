@@ -95,6 +95,29 @@ class Graph:
                 if u < v:
                     yield u, v, self.adj[u][v]
 
+    def adjacency_matrix(self) -> np.ndarray:
+        """Dense symmetric weight matrix (the reference exposes
+        SimpleWeightedGraph.weights; reference src/io.jl:355)."""
+        W = np.zeros((self.n_nodes, self.n_nodes))
+        for u, v, w in self.edges():
+            W[u, v] = W[v, u] = w
+        return W
+
+    def sparse_adjacency(self):
+        """scipy.sparse CSR weight matrix for large networks."""
+        from scipy.sparse import coo_matrix
+
+        if not self.adj:
+            return coo_matrix((self.n_nodes, self.n_nodes)).tocsr()
+        rows, cols, ws = [], [], []
+        for u, v, w in self.edges():
+            rows += [u, v]
+            cols += [v, u]
+            ws += [w, w]
+        return coo_matrix(
+            (ws, (rows, cols)), shape=(self.n_nodes, self.n_nodes)
+        ).tocsr()
+
     def __eq__(self, other):
         if not isinstance(other, Graph) or self.n_nodes != other.n_nodes:
             return False

@@ -93,3 +93,22 @@ def test_mi_cond_batch_consistency(norm_data):
         solo = engine.mi_tests(X[i : i + 1], Y[i : i + 1], Zs[i : i + 1],
                                k[i : i + 1])[0]
         assert solo == batch[i], (i, solo, batch[i])
+
+
+@requires_reference_data
+def test_masked_cor_chunked_matches_direct(norm_data, monkeypatch):
+    """Row-chunked scan path equals the direct path."""
+    import flashweave_tpu.ops.condtests as mod
+
+    data = norm_data["fz_nz"][:300]  # non-multiple of the forced chunk
+    pairs = [(0, 1), (5, 9)]
+    vls = [[0, 1, 2, 3], [5, 9, 11, 2]]
+    direct = make_engine(data, "fz_nz", max_k=3).masked_cor(pairs, vls)
+    # force chunking (chunk floor is 64 rows < 300)
+    monkeypatch.setattr(mod, "MCOR_ROW_BUDGET", 1)
+    mod._masked_cor_kernel._clear_cache()
+    chunked = make_engine(data, "fz_nz", max_k=3).masked_cor(pairs, vls)
+    mod._masked_cor_kernel._clear_cache()
+    for (C1, n1), (C2, n2) in zip(direct, chunked):
+        assert n1 == n2
+        np.testing.assert_allclose(C1, C2, atol=1e-10)

@@ -75,3 +75,14 @@ def test_fwresult_show_and_accessors():
     n_unf, mean_unchecked, mean_frac = res.unchecked_statistics()
     assert n_unf == 1 and mean_unchecked == 1 and mean_frac == 0.5
     assert res.names() == ["X1", "X2", "X3", "X4"]
+
+
+def test_graph_adjacency_exports():
+    g = Graph(3)
+    g.add_edge(0, 2, -1.5)
+    g.add_edge(1, 2, 0.5)
+    W = g.adjacency_matrix()
+    assert W[0, 2] == W[2, 0] == -1.5
+    assert W[1, 2] == 0.5 and W[0, 1] == 0
+    S = g.sparse_adjacency()
+    np.testing.assert_array_equal(S.toarray(), W)
