@@ -68,17 +68,39 @@ class HitonConfig:
 
 
 class SearchControl:
-    """Shared stop signal checked between candidates (the reference's
-    time_limit checkpoint, src/hiton.jl:143-146, plus the global convergence
-    freeze of the interleaved scheduler, src/interleaved.jl:119-124)."""
+    """Shared convergence signal.  In the reference, global convergence NEVER
+    interrupts a running job: it only freezes jobs that checkpoint at their
+    per-job time limit and come back to the master for requeueing
+    (src/interleaved.jl:119-124 marks only non-'F'/'C' *results* as 'C';
+    fresh jobs from the waiting stack always run a full pass).  The flag is
+    therefore consulted exclusively at time-limit checkpoints."""
 
     def __init__(self):
         self.converged = False
 
-    def should_stop(self, start_time: float, time_limit: float) -> bool:
+
+class JobClock:
+    """Per-job time-limit clock.  The reference restarts the clock on every
+    (re)entry into si_HITON_PC (src/hiton.jl:305 sets start_time per call, and
+    checkpointed jobs are requeued and re-enter with a fresh clock), so a
+    checkpoint that is immediately resumed is equivalent to resetting the
+    timer and continuing."""
+
+    def __init__(self, time_limit: float):
+        import time as _time
+
+        self._time = _time
+        self.time_limit = time_limit
+        self.start = _time.time() if time_limit > 0.0 else 0.0
+
+    def expired(self) -> bool:
         from ..utils.misc import stop_reached
 
-        return self.converged or stop_reached(start_time, time_limit)
+        return stop_reached(self.start, self.time_limit)
+
+    def reset(self) -> None:
+        if self.time_limit > 0.0:
+            self.start = self._time.time()
 
 
 def _empty_state(phase="F") -> HitonState:
@@ -222,7 +244,7 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
                   support_dict: NbrStatDict,
                   whitelist, blacklist: Set[int],
                   rej_dict: RejDict,
-                  control: SearchControl, start_time: float):
+                  control: SearchControl, clock: JobClock):
     """One HITON phase ('I' interleaving / 'E' elimination).  Returns
     (accepted_dict, candidates_unchecked)."""
     if prev_accepted_dict:
@@ -281,8 +303,15 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
                 if cfg.track_rejections:
                     rej_dict[cand] = (lowest_Zs, res, (num_tests, frac))
 
-        if control.should_stop(start_time, cfg.time_limit) and ci < len(candidates) - 1:
-            return accepted_dict, candidates[ci + 1:]
+        # per-job time-limit checkpoint (reference: src/hiton.jl:143-146).
+        # Global convergence only takes effect HERE: a checkpointed job is
+        # frozen instead of resumed (reference: src/interleaved.jl:119-124);
+        # an unconverged checkpoint is requeued and re-enters with a fresh
+        # clock, which is equivalent to resetting the timer and continuing.
+        if clock.expired() and ci < len(candidates) - 1:
+            if control.converged:
+                return accepted_dict, candidates[ci + 1:]
+            clock.reset()
     return accepted_dict, []
 
 
@@ -294,12 +323,9 @@ def si_hiton_pc_gen(T: int, cfg: HitonConfig, engine,
                     univar_nbrs: NbrStatDict,
                     prev_state: Optional[HitonState] = None,
                     whitelist=None, blacklist: Optional[Set[int]] = None,
-                    control: Optional[SearchControl] = None,
-                    start_time: float = 0.0):
+                    control: Optional[SearchControl] = None):
     """Generator running the full HITON-PC search for target T.  Yields
     batched test requests and returns the final (or partial) HitonState."""
-    import time as _time
-
     if prev_state is None:
         prev_state = HitonState("S", {}, {}, [], {})
     if control is None:
@@ -310,8 +336,9 @@ def si_hiton_pc_gen(T: int, cfg: HitonConfig, engine,
     if cfg.discrete and engine.levels[T] < 2:
         return _empty_state()
 
-    if start_time == 0.0 and cfg.time_limit > 0.0:
-        start_time = _time.time()
+    # per-job clock, started when this target's search actually begins
+    # (generator body runs on first advance; reference: src/hiton.jl:305)
+    clock = JobClock(cfg.time_limit)
 
     if cfg.max_k <= 0:
         TPC_dict: NbrStatDict = {}
@@ -349,7 +376,7 @@ def si_hiton_pc_gen(T: int, cfg: HitonConfig, engine,
 
         TPC_dict, candidates_unchecked = yield from phase_backend(
             T, candidates, cfg, engine, "I", prev_TPC, candidates_unchecked,
-            univar_nbrs, whitelist, blacklist, rej_dict, control, start_time,
+            univar_nbrs, whitelist, blacklist, rej_dict, control, clock,
         )
         if candidates_unchecked:
             return HitonState("I", TPC_dict, {}, candidates_unchecked, rej_dict)
@@ -370,7 +397,7 @@ def si_hiton_pc_gen(T: int, cfg: HitonConfig, engine,
 
     PC_dict, TPC_unchecked = yield from phase_backend(
         T, PC_candidates, cfg, engine, "E", prev_PC, PC_unchecked,
-        TPC_dict, whitelist, blacklist, rej_dict, control, start_time,
+        TPC_dict, whitelist, blacklist, rej_dict, control, clock,
     )
     if TPC_unchecked:
         return HitonState("E", PC_dict, TPC_dict, TPC_unchecked, rej_dict)

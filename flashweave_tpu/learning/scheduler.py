@@ -13,8 +13,15 @@ Preserved semantics:
   whitelist here is LIVE (checked at candidate time) rather than snapshotted
   at job (re)start -- strictly fresher information.
 - convergence early-stop on the edge-growth rate (reference:
-  src/interleaved.jl:203-230), freezing remaining targets into 'C' states.
-- time-limit checkpointing into resumable HitonStates.
+  src/interleaved.jl:203-230).  As in the reference, convergence never
+  interrupts a running search pass: it only freezes searches that checkpoint
+  at their PER-JOB time limit (src/interleaved.jl:119-124 marks only
+  checkpointed results 'C'; fresh jobs always run a full pass).  This also
+  makes results machine-speed independent whenever no single pass exceeds
+  time_limit.
+- time-limit checkpointing into resumable HitonStates; an unconverged
+  checkpoint resumes immediately with a fresh clock (the reference requeues
+  it and restarts the clock on re-entry, src/hiton.jl:305).
 
 Divergence from the reference (documented): the reference discards a
 phase-'I' checkpoint on resume (src/hiton.jl:329-338 returns an empty
@@ -112,7 +119,7 @@ class RoundScheduler:
             wl = LiveWhitelist(self.adj, T) if self.feed_forward else None
             gens[T] = si_hiton_pc_gen(
                 T, self.cfg, self.engine, self.univar[T],
-                whitelist=wl, control=control, start_time=start_time,
+                whitelist=wl, control=control,
             )
 
         results: Dict[int, HitonState] = {}
