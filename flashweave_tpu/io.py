@@ -4,9 +4,13 @@ Format-compatible re-implementation of the reference's I/O layer (reference:
 src/io.jl): delimited OTU tables (TSV/CSV with header/row-id sniffing and
 transposition), BIOM 1.0 JSON and BIOM 2.x HDF5, and network serialization as
 edgelists (with `# header` / `# meta mask` comment lines) and GML, plus the
-detailed `_rejections.tsv` / `_unchecked.tsv` outputs.  JLD2 is a
-Julia-specific format and is not supported (deprecated in the reference,
-src/io.jl:48).
+detailed `_rejections.tsv` / `_unchecked.tsv` outputs.  The reference's
+binary format (JLD2, deprecated, src/io.jl:48) is Julia-specific; its role --
+lossless round-trip of networks *including* inference parameters, rejections
+and unfinished states (src/io.jl:97: "parameters ... are only available when
+loading from JLD2"), and key-addressed binary data tables
+(src/io.jl:119-148) -- is filled by NumPy `.npz` archives with the same
+default keys ('otu_data', 'otu_header', 'meta_data', 'meta_header').
 
 All of this is host-side Python; indices written to disk are 1-based for
 interoperability with reference outputs (internal node ids are 0-based).
@@ -23,8 +27,8 @@ import numpy as np
 
 from .types import FWResult, Graph, HitonState, LGLResult, TestResult
 
-VALID_NET_FORMATS = (".edgelist", ".gml")
-VALID_DATA_FORMATS = (".tsv", ".csv", ".biom")
+VALID_NET_FORMATS = (".edgelist", ".gml", ".npz")
+VALID_DATA_FORMATS = (".tsv", ".csv", ".biom", ".npz")
 VALID_DLM_FORMATS = (".tsv", ".csv")
 
 
@@ -143,15 +147,67 @@ def load_biom(data_path: str, meta_path: Optional[str] = None):
     return data, header, meta_data, meta_header
 
 
+def load_npz_data(data_path: str, otu_data_key: str = "otu_data",
+                  otu_header_key: str = "otu_header",
+                  meta_data_key: Optional[str] = "meta_data",
+                  meta_header_key: Optional[str] = "meta_header",
+                  transposed: bool = False):
+    """Key-addressed binary table loader -- the npz equivalent of the
+    reference's JLD2 data files (reference: src/io.jl:119-148; same default
+    keys).  Keys set to None are skipped."""
+    with np.load(data_path, allow_pickle=False) as f:
+        for key, desc in ((otu_data_key, "otu data"), (otu_header_key, "otu ids")):
+            if key is None:
+                raise AssertionError(f"must provide a key for {desc}")
+        data = np.asarray(f[otu_data_key], dtype=np.float64)
+        header = [str(h) for h in f[otu_header_key]]
+        meta_data = meta_header = None
+        if meta_data_key is not None and meta_data_key in f.files:
+            meta_data = f[meta_data_key]
+            if meta_data.dtype.kind in "US":
+                meta_data = meta_data.astype(object)
+        if meta_header_key is not None and meta_header_key in f.files:
+            meta_header = [str(h) for h in f[meta_header_key]]
+    if transposed:
+        data = data.T
+        if meta_data is not None:
+            meta_data = meta_data.T
+    return data, header, meta_data, meta_header
+
+
+def save_npz_data(data_path: str, data, header, meta_data=None,
+                  meta_header=None) -> None:
+    """Writer counterpart of :func:`load_npz_data` (same default keys)."""
+    payload = dict(otu_data=np.asarray(data),
+                   otu_header=np.asarray([str(h) for h in header]))
+    if meta_data is not None:
+        meta_data = np.asarray(meta_data)
+        if meta_data.dtype == object:
+            meta_data = meta_data.astype(str)
+        payload["meta_data"] = meta_data
+    if meta_header is not None:
+        payload["meta_header"] = np.asarray([str(h) for h in meta_header])
+    np.savez_compressed(data_path, **payload)
+
+
 def load_data(data_path: str, meta_data_path: Optional[str] = None,
-              transposed: bool = False, **kwargs):
-    """Load an OTU table (+ optional meta table) from '.tsv', '.csv' or
-    '.biom' (reference: src/io.jl:29-59).  Returns
-    (data, header, meta_data, meta_header)."""
+              transposed: bool = False, otu_data_key: str = "otu_data",
+              otu_header_key: str = "otu_header",
+              meta_data_key: Optional[str] = "meta_data",
+              meta_header_key: Optional[str] = "meta_header", **kwargs):
+    """Load an OTU table (+ optional meta table) from '.tsv', '.csv',
+    '.biom' or key-addressed binary '.npz' (reference: src/io.jl:29-59).
+    Returns (data, header, meta_data, meta_header)."""
     ext = _ext(data_path)
     if transposed and ext == ".biom":
         warnings.warn("'transposed' cannot be used with .biom files")
     if meta_data_path is not None:
+        if ext == ".npz":
+            raise ValueError(
+                "npz format not compatible with external meta data files, "
+                "please add meta data directly to the npz file (default key: "
+                "'meta_data')"
+            )
         mext = _ext(meta_data_path)
         if mext not in VALID_DLM_FORMATS:
             raise ValueError(
@@ -162,6 +218,12 @@ def load_data(data_path: str, meta_data_path: Optional[str] = None,
         return load_dlm(data_path, meta_data_path, transposed=transposed)
     if ext == ".biom":
         return load_biom(data_path, meta_data_path)
+    if ext == ".npz":
+        return load_npz_data(
+            data_path, otu_data_key=otu_data_key,
+            otu_header_key=otu_header_key, meta_data_key=meta_data_key,
+            meta_header_key=meta_header_key, transposed=transposed,
+        )
     raise ValueError(
         f"{ext} not a valid input format. Choose one of {VALID_DATA_FORMATS}"
     )
@@ -340,13 +402,120 @@ def load_unfinished_variable_info(unf_path: str):
     return unf
 
 
+# --- binary network format (npz) -------------------------------------------
+# Lossless counterpart of the reference's JLD2 network files: unlike the text
+# formats, inference parameters, rejection records and unfinished/checkpointed
+# search states survive the round-trip (reference src/io.jl:97).
+
+def _tres_to_list(t: TestResult):
+    return [float(t.stat), float(t.pval), int(t.df), bool(t.suff_power)]
+
+
+def _tres_from_list(v) -> TestResult:
+    return TestResult(float(v[0]), float(v[1]), int(v[2]), bool(v[3]))
+
+
+def _rej1_to_json(nbrs):
+    # single-level RejDict: nbr -> (Zs, TestResult, (num_tests, frac))
+    return {
+        str(B): [list(map(int, Zs)), _tres_to_list(t), [int(n), float(frac)]]
+        for B, (Zs, t, (n, frac)) in nbrs.items()
+    }
+
+
+def _rej1_from_json(d):
+    return {
+        int(B): (tuple(v[0]), _tres_from_list(v[1]),
+                 (int(v[2][0]), float(v[2][1])))
+        for B, v in d.items()
+    }
+
+
+def _rej_to_json(rej_dict):
+    return {str(A): _rej1_to_json(nbrs) for A, nbrs in rej_dict.items()}
+
+
+def _rej_from_json(d):
+    return {int(A): _rej1_from_json(nbrs) for A, nbrs in d.items()}
+
+
+def _nbrstats_to_json(nbr_dict):
+    return {str(k): [float(v[0]), float(v[1])] for k, v in nbr_dict.items()}
+
+
+def _nbrstats_from_json(d):
+    return {int(k): (float(v[0]), float(v[1])) for k, v in d.items()}
+
+
+def _states_to_json(states):
+    return {
+        str(T): dict(
+            phase=st.phase,
+            state_results=_nbrstats_to_json(st.state_results),
+            inter_results=_nbrstats_to_json(st.inter_results),
+            unchecked_vars=[int(v) for v in st.unchecked_vars],
+            state_rejections=_rej1_to_json(st.state_rejections),
+        )
+        for T, st in states.items()
+    }
+
+
+def _states_from_json(d):
+    return {
+        int(T): HitonState(
+            phase=s["phase"],
+            state_results=_nbrstats_from_json(s["state_results"]),
+            inter_results=_nbrstats_from_json(s["inter_results"]),
+            unchecked_vars=list(s["unchecked_vars"]),
+            state_rejections=_rej1_from_json(s["state_rejections"]),
+        )
+        for T, s in d.items()
+    }
+
+
+def write_npz_network(out_path: str, net_result: FWResult) -> None:
+    G = net_result.graph
+    edges = list(G.edges())
+    np.savez_compressed(
+        out_path,
+        n_nodes=np.int64(G.n_nodes),
+        edges_u=np.array([u for u, _, _ in edges], dtype=np.int64),
+        edges_v=np.array([v for _, v, _ in edges], dtype=np.int64),
+        edges_w=np.array([w for _, _, w in edges], dtype=np.float64),
+        header=np.asarray(net_result.variable_ids),
+        meta_mask=np.asarray(net_result.meta_variable_mask, dtype=bool),
+        parameters_json=json.dumps(net_result.parameters, default=str),
+        rejections_json=json.dumps(_rej_to_json(net_result.rejections)),
+        unfinished_json=json.dumps(_states_to_json(net_result.unfinished_states)),
+    )
+
+
+def read_npz_network(in_path: str) -> FWResult:
+    with np.load(in_path, allow_pickle=False) as f:
+        G = Graph(int(f["n_nodes"]))
+        for u, v, w in zip(f["edges_u"], f["edges_v"], f["edges_w"]):
+            G.add_edge(int(u), int(v), float(w))
+        header = [str(h) for h in f["header"]]
+        meta_mask = np.asarray(f["meta_mask"], dtype=bool)
+        parameters = json.loads(str(f["parameters_json"]))
+        rejections = _rej_from_json(json.loads(str(f["rejections_json"])))
+        unfinished = _states_from_json(json.loads(str(f["unfinished_json"])))
+    return FWResult(
+        LGLResult(G, rejections, unfinished), variable_ids=header,
+        meta_variable_mask=meta_mask, parameters=parameters,
+    )
+
+
 def save_network(net_path: str, net_result: FWResult, detailed: bool = False) -> None:
-    """Save network results ('.edgelist' or '.gml'; reference: src/io.jl:73-91)."""
+    """Save network results ('.edgelist', '.gml' or binary '.npz';
+    reference: src/io.jl:73-91)."""
     ext = _ext(net_path)
     if ext == ".edgelist":
         write_edgelist(net_path, net_result)
     elif ext == ".gml":
         write_gml(net_path, net_result)
+    elif ext == ".npz":
+        write_npz_network(net_path, net_result)
     else:
         raise ValueError(
             f"{ext} not a valid output format. Choose one of {VALID_NET_FORMATS}"
@@ -358,12 +527,16 @@ def save_network(net_path: str, net_result: FWResult, detailed: bool = False) ->
 
 
 def load_network(net_path: str) -> FWResult:
-    """Load network results ('.edgelist' or '.gml'; reference: src/io.jl:101-112)."""
+    """Load network results ('.edgelist', '.gml' or binary '.npz';
+    reference: src/io.jl:101-112).  Inference parameters, rejections and
+    unfinished states are only preserved by '.npz'."""
     ext = _ext(net_path)
     if ext == ".edgelist":
         return read_edgelist(net_path)
     if ext == ".gml":
         return read_gml(net_path)
+    if ext == ".npz":
+        return read_npz_network(net_path)
     raise ValueError(
         f"{ext} not a valid network format. Valid formats are {VALID_NET_FORMATS}"
     )

@@ -9,6 +9,11 @@ Execution modes map the reference's process-parallel options onto the
 TPU scheduler:
 - parallel="single"   : exact sequential reference semantics per target
                         (still device-batched per conditioning chunk)
+- parallel="multi_ep" : embarrassingly parallel over target variables
+                        (reference: src/learning.jl:141-144): many targets
+                        advance per round, device batches sharded over the
+                        mesh, but no feed-forward/convergence -- per-target
+                        decisions identical to "single"
 - parallel="single_il"/"multi_il" : round-based batched scheduler with
                         feed-forward + convergence (learning/scheduler.py);
                         multi_il additionally shards device batches over the
@@ -40,7 +45,7 @@ from ..utils.misc import (
 from .hiton import HitonConfig
 from .scheduler import RoundScheduler
 
-VALID_PARALLEL = ("single", "single_il", "multi_il")
+VALID_PARALLEL = ("single", "single_il", "multi_ep", "multi_il")
 
 
 def prepare_lgl(data, test_name, time_limit, parallel, feed_forward, max_k,
@@ -151,7 +156,7 @@ def LGL(
 
     # multi-chip: shard over the device mesh (power-of-two device count so
     # batch buckets stay evenly divisible)
-    if mesh is None and parallel == "multi_il":
+    if mesh is None and parallel in ("multi_il", "multi_ep"):
         import jax
 
         ndev = len(jax.devices())

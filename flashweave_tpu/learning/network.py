@@ -14,7 +14,7 @@ from ..types import FWResult
 from ..utils.misc import check_data, mode_string
 from .lgl import LGL
 
-VALID_PARALLEL_MODES = ("multi_il", "single_il", "single", "auto")
+VALID_PARALLEL_MODES = ("multi_il", "multi_ep", "single_il", "single", "auto")
 
 
 def make_table(data_path: str, meta_data_path: Optional[str] = None,

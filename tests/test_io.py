@@ -17,6 +17,58 @@ def net_result():
 
 
 @requires_reference_data
+def test_npz_network_full_fidelity(tmp_path, net_result):
+    """The binary format must round-trip everything text formats lose:
+    parameters, rejections, and checkpointed search states (the reference's
+    JLD2 role, src/io.jl:97)."""
+    rej_dict = {
+        0: {
+            1: ((2,), TestResult(0.0, 1.0, 1, False), (10, 0.2)),
+            2: ((3, 4, 5), TestResult(0.1, 0.2, 3, True), (1000, 1.0)),
+        }
+    }
+    unf_dict = {
+        0: HitonState("I", {4: (0.5, 1e-4)}, {5: (0.1, 0.9)}, [6, 7, 8], {}),
+        1: HitonState("C", {}, {}, [10], rej_dict[0]),
+    }
+    params = {"test_name": "mi", "alpha": 0.01, "max_k": 3, "FDR": True}
+    det = FWResult(
+        LGLResult(net_result.graph, rej_dict, unf_dict),
+        variable_ids=net_result.variable_ids,
+        meta_variable_mask=net_result.meta_variable_mask,
+        parameters=params,
+    )
+    path = str(tmp_path / "net.npz")
+    fio.save_network(path, det)
+    ld = fio.load_network(path)
+    assert ld.graph == det.graph
+    assert ld.variable_ids == det.variable_ids
+    assert np.array_equal(ld.meta_variable_mask, det.meta_variable_mask)
+    assert ld.parameters == params
+    assert ld.rejections == rej_dict
+    assert ld.unfinished_states == unf_dict
+
+
+@requires_reference_data
+def test_npz_data_roundtrip(tmp_path, tiny_expected):
+    data, header, meta_data, meta_header = tiny_expected
+    path = str(tmp_path / "table.npz")
+    fio.save_npz_data(path, data, header, meta_data, meta_header)
+    d2, h2, m2, mh2 = fio.load_data(path)
+    assert np.array_equal(d2, data)
+    assert h2 == list(header)
+    assert np.array_equal(np.asarray(m2, dtype=np.float64), meta_data)
+    assert mh2 == list(meta_header)
+    # transposed loading mirrors the dlm path (reference src/io.jl:142-148)
+    fio.save_npz_data(str(tmp_path / "t.npz"), data.T, header)
+    d3, _, _, _ = fio.load_data(str(tmp_path / "t.npz"), transposed=True)
+    assert np.array_equal(d3, data)
+    # external meta files are rejected, like the reference's jld2 branch
+    with pytest.raises(ValueError):
+        fio.load_data(path, "meta.tsv")
+
+
+@requires_reference_data
 @pytest.mark.parametrize("fmt", ["edgelist", "gml"])
 def test_network_roundtrip(tmp_path, net_result, fmt):
     path = str(tmp_path / f"net.{fmt}")

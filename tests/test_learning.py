@@ -67,6 +67,25 @@ def test_lgl_backend_matches_goldens(hmp_small, test_name, max_k, parallel):
 
 
 @requires_reference_data
+@pytest.mark.parametrize("test_name", ["fz_nz", "mi_nz"])
+def test_multi_ep_matches_single(hmp_small, test_name):
+    """multi_ep batches many targets per round but has no feed-forward, so
+    per-target decisions must equal the sequential mode exactly
+    (reference: src/learning.jl:141-144)."""
+    n_obs_min = 160 if test_name.startswith("mi") else -1
+    g_single = make_network(hmp_small, test_name, max_k=3, parallel="single",
+                            time_limit=0.0, n_obs_min=n_obs_min)
+    g_ep = make_network(hmp_small, test_name, max_k=3, parallel="multi_ep",
+                        time_limit=0.0, n_obs_min=n_obs_min)
+    e_single, e_ep = list(g_single.edges()), list(g_ep.edges())
+    # identical decisions; weights may differ at machine epsilon (batched
+    # masked-moment matmuls reduce in a different order than per-target ones)
+    assert [(u, v) for u, v, _ in e_single] == [(u, v) for u, v, _ in e_ep]
+    np.testing.assert_allclose([w for _, _, w in e_single],
+                               [w for _, _, w in e_ep], rtol=1e-9)
+
+
+@requires_reference_data
 @pytest.mark.parametrize("test_name", ["fz", "fz_nz"])
 def test_pcor_recursive_fits_iterative(hmp_small, test_name):
     # reference: test/learning.jl:239-260
