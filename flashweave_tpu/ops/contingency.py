@@ -36,26 +36,32 @@ def onehot_encode(data, L):
     return (data[..., None].astype(jnp.int32) == lv).astype(data.dtype)
 
 
-@partial(jax.jit, static_argnames=("tile", "L"))
-def pair_ctab_block(data, start, tile, L):
-    """Contingency tables of a block of X-variables against ALL variables.
+@partial(jax.jit, static_argnames=("tile", "L", "y_len"))
+def pair_ctab_block(data, start, tile, L, y_start=0, y_len=None):
+    """Contingency tables of a block of X-variables against a Y-slab
+    (default: ALL variables).
 
     Args:
       data: (n, p) discrete values in 0..L-1 (float dtype for MXU matmuls).
       start: first X-variable of the block.
+      y_start/y_len: Y-variable slab [y_start, y_start+y_len) -- triangle
+        sweeps pass y_start <= start so only X < Y work is computed.
     Returns:
-      (tile, p, L, L) float tables; ctab[t, q, a, b] = #rows with
-      X_{start+t} == a and Y_q == b.
+      (tile, y_len, L, L) float tables; ctab[t, q, a, b] = #rows with
+      X_{start+t} == a and Y_{y_start+q} == b.
     """
     n = data.shape[0]
-    enc = onehot_encode(data, L)                           # (n, p, L)
+    if y_len is None:
+        y_len = data.shape[1]
+    yslab = lax.dynamic_slice(data, (0, y_start), (n, y_len))
+    enc = onehot_encode(yslab, L)                          # (n, y_len, L)
     block = lax.dynamic_slice(data, (0, start), (n, tile))
     enc_block = onehot_encode(block, L)                    # (n, tile, L)
-    # (tile*L, n) @ (n, p*L) -> MXU
+    # (tile*L, n) @ (n, y_len*L) -> MXU
     a = enc_block.transpose(1, 2, 0).reshape(tile * L, n)
     b = enc.reshape(n, -1)
-    ctab = (a @ b).reshape(tile, L, data.shape[1], L)
-    return ctab.transpose(0, 2, 1, 3)                      # (tile, p, L, L)
+    ctab = (a @ b).reshape(tile, L, y_len, L)
+    return ctab.transpose(0, 2, 1, 3)                      # (tile, y_len, L, L)
 
 
 @partial(jax.jit, static_argnames=("B_pad", "max_k", "L", "S"))

@@ -135,33 +135,42 @@ def _make_ctab_kernel(L):
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        a = a_ref[:]                  # (tn, tx)
-        b = b_ref[:]                  # (tn, ty)
-        # one-hot indicators are exactly representable in bf16: counts
-        # accumulate in f32 via preferred_element_type, so the tables are
-        # exact while the MXU runs at bf16 rate
+        # operands arrive as int8 (4x less HBM traffic than f32); the vector
+        # units can't compare int8 lanes directly, so upcast in VMEM --
+        # indicator formation is f32 on the VPU, the dots are int8 on the
+        # MXU (2x bf16 rate) with exact int32 count accumulation
+        a = a_ref[:].astype(jnp.float32)  # (tn, tx)
+        b = b_ref[:].astype(jnp.float32)  # (tn, ty)
+        ebs = [(b == lv).astype(jnp.int8) for lv in range(L)]
         for lv_a in range(L):
-            ea = (a == lv_a).astype(jnp.bfloat16)
+            ea = (a == lv_a).astype(jnp.int8)
             for lv_b in range(L):
-                eb = (b == lv_b).astype(jnp.bfloat16)
                 out_ref[lv_a * L + lv_b, :, :] += jax.lax.dot_general(
-                    ea, eb, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    ea, ebs[lv_b], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
                 )
 
     return kernel
 
 
+def _default_tn(n: int) -> int:
+    # deep row chunks amortize output-block revisits; cap padding for small n
+    return min(2048, -(-n // 256) * 256)
+
+
 @partial(jax.jit, static_argnames=("L", "tx", "ty", "tn"))
-def mi_pair_ctabs(a, b=None, L=3, tx=256, ty=256, tn=512):
+def mi_pair_ctabs(a, b=None, L=3, tx=256, ty=256, tn=None):
     """Contingency planes of an X-set against a Y-set: returns
-    (L*L, pa, pb) float32 where plane a*L+b holds #rows with X==a and Y==b.
-    Inputs are padded internally; pad cells hold value -1 and match no level."""
+    (L*L, pa, pb) int32 where plane a*L+b holds #rows with X==a and Y==b.
+    Inputs are padded internally; pad cells hold value -1 and match no level.
+    Levels must fit int8 (L < 128; discrete data is 2-3 levels)."""
     if b is None:
         b = a
+    if tn is None:
+        tn = _default_tn(a.shape[0])
     pa0, pb0 = a.shape[1], b.shape[1]
-    a = _pad_cols(_pad_rows(a, tn, -1.0), tx, -1.0)
-    b = _pad_cols(_pad_rows(b, tn, -1.0), ty, -1.0)
+    a = _pad_cols(_pad_rows(a.astype(jnp.int8), tn, -1), tx, -1)
+    b = _pad_cols(_pad_rows(b.astype(jnp.int8), tn, -1), ty, -1)
     n, pa = a.shape
     pb = b.shape[1]
     grid = (pa // tx, pb // ty, n // tn)
@@ -173,10 +182,258 @@ def mi_pair_ctabs(a, b=None, L=3, tx=256, ty=256, tn=512):
             pl.BlockSpec((tn, ty), lambda i, j, k: (k, j)),
         ],
         out_specs=pl.BlockSpec((L * L, tx, ty), lambda i, j, k: (0, i, j)),
-        out_shape=jax.ShapeDtypeStruct((L * L, pa, pb), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((L * L, pa, pb), jnp.int32),
         interpret=_interpret(),
     )(a, b)
     return out[:, :pa0, :pb0]
+
+
+@partial(jax.jit, static_argnames=("tile", "L", "y_len"))
+def pair_ctab_planes_pallas(data, start, tile, L, y_start=0, y_len=None):
+    """(L*L, tile, y_len) int32 contingency planes of an X-block against the
+    Y-slab [y_start, y_start+y_len) via the fused kernel.  Plane layout lets
+    the stats jit fuse the transpose into its elementwise pass."""
+    n, p = data.shape
+    if y_len is None:
+        y_len = p
+    block = jax.lax.dynamic_slice(data, (0, start), (n, tile))
+    yslab = jax.lax.dynamic_slice(data, (0, y_start), (n, y_len))
+    return mi_pair_ctabs(block, yslab, L=L)
+
+
+def _make_mi_stats_kernel(L, nz, hps, n_obs_min, n_rows):
+    """Fused univariate kernel: int8 one-hot contingency matmuls accumulate
+    in a VMEM scratch; at the final row-chunk the full G-test statistic
+    pipeline (nz table slicing, signed MI, df adjustment, power checks --
+    semantics of ops.univariate.mi_block_stats / ops.statfuns.mi_stats,
+    reference src/statfuns.jl:163-323 + src/tests.jl:28-103) runs in-register
+    and only the four (tx, ty) result planes are written to HBM.  The count
+    planes never leave VMEM.
+
+    Two MXU savings vs the naive L^2-matmul formulation:
+    - only the (L-1)^2 joint counts for levels >= 1 are computed with dots;
+      the level-0 row/column/corner counts follow exactly from the
+      per-variable level marginals (mx/my inputs) and the row total, since
+      contingency tables have fixed margins.
+    - the X operand arrives pre-transposed (tx, tn) so every dot is a native
+      (M, K) @ (K, N) MXU contraction with no in-VMEM transpose.
+    """
+    K = L - 1
+
+    def kernel(at_ref, b_ref, mx_ref, my_ref, lx_ref, ly_ref, mvx_ref,
+               mvy_ref, stat_ref, df_ref, nobs_ref, suff_ref, acc_ref):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        at = at_ref[:].astype(jnp.float32)  # (tx, tn)
+        b = b_ref[:].astype(jnp.float32)    # (tn, ty)
+        ebs = [(b == lv).astype(jnp.int8) for lv in range(1, L)]
+        for ia in range(K):
+            ea = (at == ia + 1).astype(jnp.int8)
+            for ib in range(K):
+                acc_ref[ia * K + ib, :, :] += jax.lax.dot_general(
+                    ea, ebs[ib], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+
+        @pl.when(k == pl.num_programs(2) - 1)
+        def _():
+            # reconstruct the full L x L table from the (L-1)^2 joint counts
+            # and the fixed margins, exactly, in int32
+            mx = [mx_ref[l, :].reshape(-1, 1) for l in range(L)]  # (tx, 1)
+            my = [my_ref[l, :].reshape(1, -1) for l in range(L)]  # (1, ty)
+            cnt = {}
+            for ia in range(1, L):
+                for ib in range(1, L):
+                    cnt[(ia, ib)] = acc_ref[(ia - 1) * K + (ib - 1), :, :]
+            for ia in range(1, L):
+                cnt[(ia, 0)] = mx[ia] - sum(
+                    cnt[(ia, ib)] for ib in range(1, L)
+                )
+            for ib in range(1, L):
+                cnt[(0, ib)] = my[ib] - sum(
+                    cnt[(ia, ib)] for ia in range(1, L)
+                )
+            cnt[(0, 0)] = (
+                n_rows - sum(mx[1:]) - sum(my[1:])
+                + sum(cnt[(ia, ib)] for ia in range(1, L)
+                      for ib in range(1, L))
+            )
+            # Boolean logic is expressed as float 0/1 masks with arithmetic
+            # and/or (Mosaic can't truncate i8 vectors to i1, so vector `&`
+            # chains fail to compile); every comparison stays a single f32
+            # cmp + cast, which lowers cleanly to the VPU.
+            f32 = jnp.float32
+            lx = lx_ref[:].reshape(-1, 1).astype(f32)   # (tx, 1)
+            ly = ly_ref[:].reshape(1, -1).astype(f32)   # (1, ty)
+            if nz:
+                ox = (mvx_ref[:].reshape(-1, 1) > 1).astype(f32)
+                oy = (mvy_ref[:].reshape(1, -1) > 1).astype(f32)
+            else:
+                ox = jnp.zeros_like(lx)
+                oy = jnp.zeros_like(ly)
+
+            xmask = [(av >= ox).astype(f32) for av in range(L)]
+            ymask = [(bv >= oy).astype(f32) for bv in range(L)]
+
+            def subplane(av, bv):
+                return cnt[(av, bv)].astype(f32) * xmask[av] * ymask[bv]
+
+            row = [
+                sum(subplane(av, bv) for bv in range(L)) for av in range(L)
+            ]
+            col = [
+                sum(subplane(av, bv) for av in range(L)) for bv in range(L)
+            ]
+            n_obs = sum(row)
+            # MI terms with diag/offdiag split (sign semantics of
+            # reference src/statfuns.jl:209-254)
+            mi_pos = jnp.zeros_like(n_obs)
+            mi_neg = jnp.zeros_like(n_obs)
+            n_pos = jnp.zeros_like(n_obs)
+            for av in range(L):
+                for bv in range(L):
+                    s_ab = subplane(av, bv)
+                    # s_ab > 0 implies row/col marginals > 0
+                    validf = (s_ab > 0).astype(f32)
+                    inv = 1.0 - validf
+                    ratio = (n_obs * s_ab + inv) / (row[av] * col[bv] + inv)
+                    term = jnp.log(ratio) * s_ab
+                    diagf = ((av - ox) == (bv - oy)).astype(f32)
+                    mi_pos += diagf * term
+                    mi_neg += (1.0 - diagf) * term
+                    n_pos += diagf * s_ab
+            n_neg = n_obs - n_pos
+            safe_n = jnp.maximum(n_obs, 1.0)
+            mi = (mi_pos + mi_neg) / safe_n
+            flipf = (mi_neg * n_neg > mi_pos * n_pos).astype(f32)
+            mi = mi * (1.0 - 2.0 * flipf)
+            # adjusted df (reference src/statfuns.jl:281-305)
+            alx = sum((r != 0).astype(f32) for r in row)
+            aly = sum((c != 0).astype(f32) for c in col)
+            df = (jnp.maximum(alx, 1.0) - 1.0) * (jnp.maximum(aly, 1.0) - 1.0)
+            # pre-check on the X-trimmed view (reference src/tests.jl:9-20)
+            n_view = sum(
+                cnt[(av, bv)].astype(f32) * xmask[av]
+                for av in range(L) for bv in range(L)
+            )
+            plx = lx - 1.0 - (lx > 1.0).astype(f32)
+            ply = ly - 1.0 - (ly > 1.0).astype(f32)
+            cells_pre = plx * ply
+            # ok iff cells <= 0 OR n/cells > hps (Julia n/0 == Inf > hps)
+            pre_ratio_ok = jnp.maximum(
+                (n_view > hps * cells_pre).astype(f32),
+                (cells_pre <= 0).astype(f32),
+            )
+            pre_ok = (n_view >= n_obs_min).astype(f32) * pre_ratio_ok
+            if nz:
+                lx_eff = L - ox
+                ly_eff = L - oy
+            else:
+                lx_eff = lx * jnp.ones_like(oy)
+                ly_eff = ly * jnp.ones_like(ox)
+            cells_post = lx_eff * ly_eff
+            post_ratio_ok = jnp.maximum(
+                (n_obs > hps * cells_post).astype(f32),
+                (cells_post <= 0).astype(f32),
+            )
+            post_ok = (n_obs >= n_obs_min).astype(f32) * post_ratio_ok
+            sufff = pre_ok * post_ok * (lx >= 2.0).astype(f32)
+            stat_ref[:] = mi * sufff
+            df_ref[:] = (df * sufff).astype(jnp.int32)
+            nobs_ref[:] = n_obs.astype(jnp.int32)
+            suff_ref[:] = sufff.astype(jnp.int32)
+
+    return kernel
+
+
+def _pad_vec(v, t, fill):
+    pad = (-v.shape[0]) % t
+    if pad:
+        v = jnp.pad(v, (0, pad), constant_values=fill)
+    return v.reshape(1, -1)
+
+
+@partial(jax.jit, static_argnames=("L",))
+def level_marginals(data, L):
+    """(L, p) int32 per-variable level counts (the fixed contingency-table
+    margins; one cheap column reduction replaces L*L - (L-1)^2 matmuls)."""
+    lv = jnp.arange(L, dtype=jnp.int32).reshape(-1, 1, 1)
+    return (data[None, :, :].astype(jnp.int32) == lv).sum(axis=1).astype(
+        jnp.int32
+    )
+
+
+@partial(jax.jit,
+         static_argnames=("tile", "L", "y_len", "nz", "hps", "n_obs_min",
+                          "tx", "ty", "tn"))
+def mi_univar_stats_pallas(dataT, data, marg, levels, max_vals, start, tile,
+                           L, y_start=0, y_len=None, nz=True, hps=5.0,
+                           n_obs_min=0.0, tx=256, ty=128, tn=None):
+    """Fully fused univariate MI stats of an X-block against a Y-slab:
+    returns (stat f32, df i32, n_obs i32, suff_power bool), each
+    (tile, y_len), without materializing contingency tables in HBM.
+
+    Args:
+      dataT: (p, n) transposed data (int8-castable) -- X operand tiles.
+      data:  (n, p) data -- Y operand tiles.
+      marg:  (L, p) int32 level marginals from :func:`level_marginals`.
+    """
+    p, n = dataT.shape
+    if y_len is None:
+        y_len = p
+    if tn is None:
+        tn = _default_tn(n)
+    at = jax.lax.dynamic_slice(dataT, (start, 0), (tile, n)).astype(jnp.int8)
+    b = jax.lax.dynamic_slice(data, (0, y_start), (n, y_len)).astype(jnp.int8)
+    # pad the sample axis of both operands to the same tn multiple
+    at = _pad_cols(at, tn, -1)
+    at = jnp.pad(at, ((0, (-tile) % tx), (0, 0)), constant_values=-1)
+    b = _pad_cols(_pad_rows(b, tn, -1), ty, -1)
+    levels = jnp.asarray(levels, jnp.int32)
+    max_vals = jnp.asarray(max_vals, jnp.int32)
+    mx = jax.lax.dynamic_slice(marg, (0, start), (L, tile))
+    my = jax.lax.dynamic_slice(marg, (0, y_start), (L, y_len))
+    mx = jnp.pad(mx, ((0, 0), (0, (-tile) % tx)))
+    my = jnp.pad(my, ((0, 0), (0, (-y_len) % ty)))
+    lx = _pad_vec(jax.lax.dynamic_slice(levels, (start,), (tile,)), tx, 1)
+    ly = _pad_vec(jax.lax.dynamic_slice(levels, (y_start,), (y_len,)), ty, 1)
+    mvx = _pad_vec(jax.lax.dynamic_slice(max_vals, (start,), (tile,)), tx, 0)
+    mvy = _pad_vec(jax.lax.dynamic_slice(max_vals, (y_start,), (y_len,)), ty, 0)
+    pa, nr = at.shape
+    pb = b.shape[1]
+    grid = (pa // tx, pb // ty, nr // tn)
+    Ksq = max(1, (L - 1) * (L - 1))
+    scratch = [pltpu.VMEM((Ksq, tx, ty), jnp.int32)]
+    res_spec = pl.BlockSpec((tx, ty), lambda i, j, k: (i, j))
+    stat, df, nobs, suff = pl.pallas_call(
+        _make_mi_stats_kernel(L, nz, float(hps), float(n_obs_min), n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tx, tn), lambda i, j, k: (i, k)),
+            pl.BlockSpec((tn, ty), lambda i, j, k: (k, j)),
+            pl.BlockSpec((L, tx), lambda i, j, k: (0, i)),
+            pl.BlockSpec((L, ty), lambda i, j, k: (0, j)),
+            pl.BlockSpec((1, tx), lambda i, j, k: (0, i)),
+            pl.BlockSpec((1, ty), lambda i, j, k: (0, j)),
+            pl.BlockSpec((1, tx), lambda i, j, k: (0, i)),
+            pl.BlockSpec((1, ty), lambda i, j, k: (0, j)),
+        ],
+        out_specs=[res_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((pa, pb), jnp.float32),
+            jax.ShapeDtypeStruct((pa, pb), jnp.int32),
+            jax.ShapeDtypeStruct((pa, pb), jnp.int32),
+            jax.ShapeDtypeStruct((pa, pb), jnp.int32),
+        ],
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+    )(at, b, mx, my, lx, ly, mvx, mvy)
+    return (stat[:tile, :y_len], df[:tile, :y_len], nobs[:tile, :y_len],
+            suff[:tile, :y_len].astype(bool))
 
 
 @partial(jax.jit, static_argnames=("tile", "L"))
@@ -184,14 +441,19 @@ def pair_ctab_block_pallas(data, start, tile, L):
     """Drop-in for ops.contingency.pair_ctab_block on TPU: (tile, p, L, L)
     tables of an X-block against all variables via the fused kernel."""
     n, p = data.shape
-    block = jax.lax.dynamic_slice(data, (0, start), (n, tile))
-    ct = mi_pair_ctabs(block, data, L=L)
-    return jnp.transpose(ct.reshape(L, L, tile, p), (2, 3, 0, 1))
+    ct = pair_ctab_planes_pallas(data, start, tile, L)
+    return jnp.transpose(ct.reshape(L, L, tile, p), (2, 3, 0, 1)).astype(
+        data.dtype
+    )
 
 
-@partial(jax.jit, static_argnames=("tile",))
-def fz_nz_block_pallas(data, start, tile):
-    """Drop-in for ops.univariate.fz_nz_block on TPU."""
+@partial(jax.jit, static_argnames=("tile", "y_len"))
+def fz_nz_block_pallas(data, start, tile, y_start=0, y_len=None):
+    """Drop-in for ops.univariate.fz_nz_block on TPU, with optional Y-slab
+    restriction [y_start, y_start+y_len) for triangle sweeps."""
     n, p = data.shape
+    if y_len is None:
+        y_len = p
     block = jax.lax.dynamic_slice(data, (0, start), (n, tile))
-    return fz_nz_stats_pallas(block, data)
+    yslab = jax.lax.dynamic_slice(data, (0, y_start), (n, y_len))
+    return fz_nz_stats_pallas(block, yslab)

@@ -59,6 +59,46 @@ def mi_pval(mi, df, n_obs, xp=np):
     return xp.where(df > 0, pval, 1.0)
 
 
+def mi_pval_smalldf(mi, df, n_obs, max_df, xp=jnp):
+    """chi2 p-value of the G statistic via closed forms for small integer df.
+
+    Univariate tables have df <= (L-1)^2, where the chi2 survival function
+    reduces to exp/erfc polynomials -- on TPU this replaces the iterative
+    ``gammaincc`` series (which costs more than the contingency matmuls
+    themselves).  With x = g/2:
+      df=2k   : Q = e^{-x} * sum_{i<k} x^i / i!
+      df=2k+1 : Q = erfc(sqrt(x)) + e^{-x} * sum_{1<=i<=k} x^{i-1/2}/G(i+1/2)
+    Exactly matches mi_pval for integer 0 <= df <= max_df (df<=0 -> 1.0).
+    """
+    x = xp.abs(mi) * xp.asarray(n_obs, dtype=mi.dtype)   # g/2 = |mi| * n
+    erfc = _erfc if xp is np else jsp.erfc
+    ex = xp.exp(-x)
+    sx = xp.sqrt(x)
+    er = erfc(sx)
+    from math import gamma as _gamma
+
+    branches = []
+    for d in range(1, max_df + 1):
+        k = d // 2
+        if d % 2 == 0:
+            poly = xp.ones_like(x)
+            term = xp.ones_like(x)
+            for i in range(1, k):
+                term = term * x / i
+                poly = poly + term
+            branches.append(ex * poly)
+        else:
+            q = er
+            for i in range(1, k + 1):
+                q = q + ex * x ** (i - 0.5) / _gamma(i + 0.5)
+            branches.append(q)
+    df = xp.asarray(df)
+    out = xp.ones_like(x)
+    for d, b in zip(range(1, max_df + 1), branches):
+        out = xp.where(df == d, b, out)
+    return out
+
+
 def mi_stats(ctab, ox, oy, signed=True, xp=np):
     """Batched signed mutual information + adjusted df from stratified
     contingency tables.

@@ -51,16 +51,21 @@ def cor_matrix(data):
     return jnp.where(denom > 0, cov / jnp.where(denom > 0, denom, 1.0), jnp.nan)
 
 
-@partial(jax.jit, static_argnames=("tile",))
-def fz_nz_block(data, start, tile):
-    """Masked pairwise correlation of an X-block against all variables over
-    rows where both are nonzero (reference: src/statfuns.jl:91-123 with
-    nz=true).  Returns (stat, n_obs) of shape (tile, p)."""
+@partial(jax.jit, static_argnames=("tile", "y_len"))
+def fz_nz_block(data, start, tile, y_start=0, y_len=None):
+    """Masked pairwise correlation of an X-block against a Y-slab (default:
+    all variables) over rows where both are nonzero (reference:
+    src/statfuns.jl:91-123 with nz=true).  Returns (stat, n_obs) of shape
+    (tile, y_len)."""
     n = data.shape[0]
-    nzmask = (data != 0).astype(data.dtype)
-    mb = lax.dynamic_slice(nzmask, (0, start), (n, tile))
-    db = lax.dynamic_slice(data, (0, start), (n, tile)) * mb
-    dm = data * nzmask
+    if y_len is None:
+        y_len = data.shape[1]
+    yslab = lax.dynamic_slice(data, (0, y_start), (n, y_len))
+    nzmask = (yslab != 0).astype(data.dtype)
+    xslab = lax.dynamic_slice(data, (0, start), (n, tile))
+    mb = (xslab != 0).astype(data.dtype)
+    db = xslab * mb
+    dm = yslab * nzmask
     N = mb.T @ nzmask                                 # joint nonzero counts
     Sx = db.T @ nzmask                                # sum x over joint rows
     Sy = mb.T @ dm
@@ -81,16 +86,8 @@ def fz_nz_block(data, start, tile):
     return r, N
 
 
-@partial(jax.jit, static_argnames=("nz", "L"))
-def mi_block_stats(ctab, levels_x, levels_y, maxv_x, maxv_y, hps, n_obs_min,
-                   nz, L):
-    """Univariate MI G-test statistics from a block of pair tables.
-
-    Implements the reference's dense univariate test logic (reference:
-    src/tests.jl:28-77): nz slicing, power pre/post checks, signed MI, df
-    adjustment.  Shapes: ctab (t, p, L, L); levels_x/maxv_x (t,);
-    levels_y/maxv_y (p,).  Returns (stat, df, n_obs, suff_power).
-    """
+def _mi_block_stats_impl(ctab, levels_x, levels_y, maxv_x, maxv_y, hps,
+                         n_obs_min, nz, L):
     t, p = ctab.shape[:2]
     lx = levels_x[:, None].astype(ctab.dtype)
     ly = levels_y[None, :].astype(ctab.dtype)
@@ -138,6 +135,34 @@ def mi_block_stats(ctab, levels_x, levels_y, maxv_x, maxv_y, hps, n_obs_min,
     return stat, df, n_obs, suff
 
 
+@partial(jax.jit, static_argnames=("nz", "L"))
+def mi_block_stats(ctab, levels_x, levels_y, maxv_x, maxv_y, hps, n_obs_min,
+                   nz, L):
+    """Univariate MI G-test statistics from a block of pair tables.
+
+    Implements the reference's dense univariate test logic (reference:
+    src/tests.jl:28-77): nz slicing, power pre/post checks, signed MI, df
+    adjustment.  Shapes: ctab (t, p, L, L); levels_x/maxv_x (t,);
+    levels_y/maxv_y (p,).  Returns (stat, df, n_obs, suff_power).
+    """
+    return _mi_block_stats_impl(ctab, levels_x, levels_y, maxv_x, maxv_y,
+                                hps, n_obs_min, nz, L)
+
+
+@partial(jax.jit, static_argnames=("nz", "L"))
+def mi_planes_stats(planes, levels_x, levels_y, maxv_x, maxv_y, hps,
+                    n_obs_min, nz, L):
+    """mi_block_stats on (L*L, t, q) int32 contingency planes (the Pallas
+    kernel's native layout): the transpose + float cast fuse into the stats
+    elementwise pass instead of materializing a (t, q, L, L) copy in HBM."""
+    t, q = planes.shape[1:]
+    ctab = jnp.transpose(
+        planes.reshape(L, L, t, q), (2, 3, 0, 1)
+    ).astype(jnp.float32)
+    return _mi_block_stats_impl(ctab, levels_x, levels_y, maxv_x, maxv_y,
+                                hps, n_obs_min, nz, L)
+
+
 # ---------------------------------------------------------------------------
 # host driver
 # ---------------------------------------------------------------------------
@@ -180,15 +205,34 @@ def condensed_to_pair(idx, p):
     return X, Y
 
 
-def _condense_block(s, t, p, blocks, outs):
-    """Scatter a (tile, p_int) block slab's X<Y entries (Y < p) into the
-    condensed output vectors."""
-    rows, cols = np.nonzero(
-        (np.arange(s, s + t)[:, None] < np.arange(p)[None, :])
-    )
-    pos = condensed_pos(rows + s, cols, p)
+def _condense_block(s, t, p, blocks, outs, y_start=0):
+    """Scatter a (tile, y_len) block slab's X<Y entries (Y < p) into the
+    condensed output vectors.  Column q of the slab is variable y_start+q."""
+    y_len = blocks[0].shape[1]
+    ys = np.arange(y_start, min(y_start + y_len, p))
+    rows, cols = np.nonzero(np.arange(s, s + t)[:, None] < ys[None, :])
+    pos = condensed_pos(rows + s, ys[cols], p)
     for blk, out in zip(blocks, outs):
         out[pos] = blk[rows, cols]
+
+
+def _y_slabs(p_int: int, tile_sz: int, triangle: bool):
+    """Per-X-block Y-slab choices [y_start, p_int) for the pair sweep.
+
+    With triangle=True each slab covers only Y >= x_start (every X<Y pair is
+    still produced exactly once), bucketed to at most ~8 distinct slab
+    lengths so the number of compiled kernel shapes stays bounded.  Cuts
+    device work ~1.8x versus the full rectangle.
+    """
+    if not triangle:
+        return lambda s: (0, p_int)
+    step = max(tile_sz, -(-p_int // (8 * tile_sz)) * tile_sz)
+
+    def slab(s):
+        y_len = min(p_int, -(-(p_int - s) // step) * step)
+        return p_int - y_len, y_len
+
+    return slab
 
 
 class UnivarResult:
@@ -283,27 +327,42 @@ def pw_univar_neighbors(
         suff = np.empty(n_pairs, dtype=bool)
         levels_np = np.asarray(levels, dtype=np.int32)
         maxv_np = np.asarray(max_vals, dtype=np.int32)
-        use_pallas = jax.default_backend() == "tpu" and mesh is None
+        use_pallas = (jax.default_backend() == "tpu" and mesh is None
+                      and L < 128)
+        slab = _y_slabs(p_int, tile_sz, triangle=(mesh is None))
+        if use_pallas:
+            from .pallas_kernels import (
+                level_marginals, mi_univar_stats_pallas,
+            )
+
+            data_j = data_j.astype(jnp.int8)  # 4x less kernel read traffic
+            data_jT = jnp.asarray(data_j.T)   # native-layout MXU X operand
+            marg = level_marginals(data_j, L)
         for start in range(0, p_int, tile_sz):
             t = min(tile_sz, p_int - start)
             # fixed tile size for jit cache: pad the final block
             s = start if t == tile_sz else max(0, p_int - tile_sz)
+            y_start, y_len = slab(s)
+            lvl_y = levels_np[y_start : y_start + y_len]
+            mv_y = maxv_np[y_start : y_start + y_len]
             if use_pallas:
-                from .pallas_kernels import pair_ctab_block_pallas
-
-                ctab = pair_ctab_block_pallas(data_j, s, tile_sz, L)
+                stat, df, n_obs, sp = mi_univar_stats_pallas(
+                    data_jT, data_j, marg, levels_np, maxv_np, s, tile_sz,
+                    L, y_start, y_len, nz, float(hps), float(n_obs_min),
+                )
             else:
-                ctab = pair_ctab_block(data_j, s, tile_sz, L)
-            stat, df, n_obs, sp = mi_block_stats(
-                ctab, levels_np[s : s + tile_sz], levels_np,
-                maxv_np[s : s + tile_sz], maxv_np, float(hps),
-                float(n_obs_min), nz, L,
-            )
+                ctab = pair_ctab_block(data_j, s, tile_sz, L, y_start, y_len)
+                stat, df, n_obs, sp = mi_block_stats(
+                    ctab, levels_np[s : s + tile_sz], lvl_y,
+                    maxv_np[s : s + tile_sz], mv_y, float(hps),
+                    float(n_obs_min), nz, L,
+                )
             _condense_block(
                 s, tile_sz, p,
                 [np.asarray(stat, np.float64), np.asarray(df),
                  np.asarray(n_obs), np.asarray(sp)],
                 [stats, df_c, nobs_c, suff],
+                y_start=y_start,
             )
         pvals = sf.mi_pval(stats, df_c, nobs_c)
         pvals = np.where(df_c > 0, pvals, 1.0)
@@ -326,19 +385,22 @@ def pw_univar_neighbors(
         stats = np.empty(n_pairs)
         n_obs = np.empty(n_pairs, dtype=np.int64)
         use_pallas = jax.default_backend() == "tpu" and mesh is None
+        slab = _y_slabs(p_int, tile_sz, triangle=(mesh is None))
         for start in range(0, p_int, tile_sz):
             t = min(tile_sz, p_int - start)
             s = start if t == tile_sz else max(0, p_int - tile_sz)
+            y_start, y_len = slab(s)
             if use_pallas:
                 from .pallas_kernels import fz_nz_block_pallas
 
-                r, N = fz_nz_block_pallas(data_j, s, tile_sz)
+                r, N = fz_nz_block_pallas(data_j, s, tile_sz, y_start, y_len)
             else:
-                r, N = fz_nz_block(data_j, s, tile_sz)
+                r, N = fz_nz_block(data_j, s, tile_sz, y_start, y_len)
             _condense_block(
                 s, tile_sz, p,
                 [np.asarray(r, np.float64), np.asarray(N, np.int64)],
                 [stats, n_obs],
+                y_start=y_start,
             )
         # n_obs < n_obs_min -> stat forced to 0 (reference src/tests.jl:121-125)
         stats = np.where(n_obs >= n_obs_min, stats, 0.0)

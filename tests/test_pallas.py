@@ -40,6 +40,58 @@ def test_mi_ctabs_match_xla(synth):
     np.testing.assert_array_equal(got, np.asarray(ct_x, dtype=np.float32))
 
 
+@pytest.mark.parametrize("nz", [True, False])
+@pytest.mark.parametrize("block", [(0, 250, 0, 250), (25, 125, 100, 150)])
+def test_fused_mi_stats_match_xla(synth, nz, block):
+    """The fully fused univariate kernel (4-dot joint counts + marginal
+    reconstruction + in-VMEM G-test epilogue) must reproduce the XLA
+    ctab+stats pipeline bit-for-bit on counts/df/suff and to f32 tolerance
+    on the statistic."""
+    from flashweave_tpu.ops.univariate import mi_block_stats
+
+    L = 3
+    data = synth.astype(np.float64)
+    levels = np.array(
+        [len(np.unique(data[:, j])) for j in range(data.shape[1])], np.int32
+    )
+    maxv = data.max(axis=0).astype(np.int32)
+    dj = jnp.asarray(data)
+    marg = pk.level_marginals(dj, L)
+    np.testing.assert_array_equal(
+        np.asarray(marg), np.stack([(data == lv).sum(0) for lv in range(L)])
+    )
+    s, tile, ys, ylen = block
+    st, df, no, sp = pk.mi_univar_stats_pallas(
+        dj.T, dj, marg, levels, maxv, s, tile, L, ys, ylen, nz, 5.0, 20.0,
+        tx=128, ty=128, tn=256,
+    )
+    ctab = pair_ctab_block(dj, s, tile, L, ys, ylen)
+    st2, df2, no2, sp2 = mi_block_stats(
+        ctab, levels[s:s + tile], levels[ys:ys + ylen],
+        maxv[s:s + tile], maxv[ys:ys + ylen], 5.0, 20.0, nz, L,
+    )
+    np.testing.assert_array_equal(np.asarray(no), np.asarray(no2))
+    np.testing.assert_array_equal(np.asarray(df), np.asarray(df2))
+    np.testing.assert_array_equal(np.asarray(sp), np.asarray(sp2))
+    np.testing.assert_allclose(
+        np.asarray(st), np.asarray(st2), atol=2e-6, rtol=2e-5
+    )
+
+
+def test_mi_pval_smalldf_matches_gammaincc():
+    from flashweave_tpu.ops import statfuns as sf
+
+    rng = np.random.default_rng(1)
+    mi = rng.exponential(0.02, 5000)
+    n_obs = rng.integers(10, 9000, 5000)
+    df = rng.integers(0, 9, 5000)
+    ref = sf.mi_pval(mi, df, n_obs, xp=np)
+    got = np.asarray(sf.mi_pval_smalldf(
+        jnp.asarray(mi), jnp.asarray(df), jnp.asarray(n_obs), 8, xp=jnp
+    ))
+    np.testing.assert_allclose(got, ref, rtol=5e-12, atol=1e-300)
+
+
 def test_block_wrappers_match_xla(synth):
     L = 3
     p = synth.shape[1]
