@@ -99,6 +99,74 @@ def mi_pval_smalldf(mi, df, n_obs, max_df, xp=jnp):
     return out
 
 
+def log_erfc(z, xp=jnp):
+    """log(erfc(z)) for z >= 0, stable far into the tail.
+
+    Direct evaluation underflows (f32 at z ~ 9, f64 at z ~ 26); beyond that
+    the 3-term asymptotic expansion erfc(z) ~ e^{-z^2}/(z sqrt(pi)) *
+    (1 - 1/(2 z^2) + 3/(4 z^4)) is accurate to ~1e-7 relative."""
+    erfc = _erfc if xp is np else jsp.erfc
+    zs = xp.maximum(z, 1e-30)
+    small = xp.log(xp.maximum(erfc(xp.minimum(z, 8.0)), 1e-300))
+    z2 = zs * zs
+    large = (-z2 - xp.log(zs * np.sqrt(np.pi))
+             + xp.log1p(-1.0 / (2.0 * z2) + 3.0 / (4.0 * z2 * z2)))
+    return xp.where(z < 8.0, small, large)
+
+
+def _logsumexp2(a, b, xp):
+    m = xp.maximum(a, b)
+    m = xp.where(xp.isfinite(m), m, 0.0)  # both -inf
+    return m + xp.log(xp.exp(a - m) + xp.exp(b - m))
+
+
+def mi_logpval_smalldf(mi, df, n_obs, max_df, xp=jnp):
+    """log of the chi2 G-test p-value for small integer df, computed in log
+    space so ultra-significant pairs keep a total order (float p-values
+    underflow to indistinguishable 0 around g ~ 180 in f32 / 1420 in f64;
+    the BH ranking and the HITON candidate order both sort by p-value).
+    Matches log(mi_pval(...)) for integer 0 <= df <= max_df."""
+    from math import lgamma as _lgamma
+
+    x = xp.abs(mi) * xp.asarray(n_obs, dtype=mi.dtype)   # g/2
+    logx = xp.log(xp.maximum(x, 1e-300))
+    sx = xp.sqrt(x)
+    ler = log_erfc(sx, xp=xp)
+
+    def even_logq(k):
+        # Q = e^{-x} sum_{i<k} x^i / i!
+        if k == 1:
+            return -x
+        acc = xp.zeros_like(x)                            # i = 0 term
+        for i in range(1, k):
+            acc = _logsumexp2(acc, i * logx - _lgamma(i + 1), xp)
+        return -x + acc
+
+    def odd_logq(k):
+        # Q = erfc(sqrt(x)) + e^{-x} sum_{1<=i<=k} x^{i-1/2} / Gamma(i+1/2)
+        if k == 0:
+            return ler
+        acc = None
+        for i in range(1, k + 1):
+            t = (i - 0.5) * logx - _lgamma(i + 0.5)
+            acc = t if acc is None else _logsumexp2(acc, t, xp)
+        return _logsumexp2(ler, -x + acc, xp)
+
+    df = xp.asarray(df)
+    out = xp.zeros_like(x)                                # df <= 0 -> log 1
+    for d in range(1, max_df + 1):
+        logq = even_logq(d // 2) if d % 2 == 0 else odd_logq(d // 2)
+        out = xp.where(df == d, logq, out)
+    return xp.minimum(out, 0.0)
+
+
+def fz_logpval(stat, n, len_z, xp=jnp):
+    """log of the two-sided Fisher-z normal p-value (log-space counterpart
+    of fz_pval): log(erfc(|z|/sqrt(2)))."""
+    fz_stat = fisher_z_transform(stat, n, len_z, xp=xp)
+    return log_erfc(xp.abs(fz_stat) / np.sqrt(2.0), xp=xp)
+
+
 def mi_stats(ctab, ox, oy, signed=True, xp=np):
     """Batched signed mutual information + adjusted df from stratified
     contingency tables.

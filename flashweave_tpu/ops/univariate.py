@@ -167,6 +167,11 @@ def mi_planes_stats(planes, levels_x, levels_y, maxv_x, maxv_y, hps,
 # host driver
 # ---------------------------------------------------------------------------
 
+# test hook: exercise the TPU fast path (Pallas kernels in interpret mode +
+# device-side FDR extraction) on the CPU mesh
+FORCE_PALLAS = False
+
+
 def _choose_tile(p: int, requested: Optional[int]) -> int:
     if requested is not None:
         return min(requested, p)
@@ -233,6 +238,103 @@ def _y_slabs(p_int: int, tile_sz: int, triangle: bool):
         return p_int - y_len, y_len
 
     return slab
+
+
+# ---------------------------------------------------------------------------
+# device-side FDR + significant-pair extraction (TPU fast path)
+#
+# Over the tunneled chip, pulling the full condensed statistics to host is
+# the bottleneck at scale (~16 MB/s; 10k variables = ~1 GB), and host-side
+# gammaincc over 5e7 pairs costs another minute.  Instead p-values are
+# computed on device in LOG space (no underflow, total order preserved),
+# BH-FDR runs as one device sort + reverse-cummin, and only the significant
+# pairs (plus one count scalar) ever cross to the host.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_df", "reliable_only"))
+def _flatten_block_mi(stat, df, nobs, suff, s, start, y_start, p, max_df,
+                      reliable_only):
+    t, ylen = stat.shape
+    X = s + lax.broadcasted_iota(jnp.int32, (t, ylen), 0)
+    Y = y_start + lax.broadcasted_iota(jnp.int32, (t, ylen), 1)
+    # X >= start dedupes the overlap of the re-aligned final block
+    valid = (X < Y) & (X >= start) & (Y < p)
+    logp = sf.mi_logpval_smalldf(stat, df, nobs, max_df, xp=jnp)
+    fill = jnp.inf if reliable_only else 0.0
+    logp = jnp.where(suff, logp, fill)
+    logp = jnp.where(valid, logp, jnp.inf)
+    unrel = (valid & ~suff).sum()
+    return logp.ravel(), stat.ravel(), unrel
+
+
+@partial(jax.jit, static_argnames=("reliable_only",))
+def _flatten_block_fz_nz(r, N, s, start, y_start, p, n_obs_min,
+                         reliable_only):
+    t, ylen = r.shape
+    X = s + lax.broadcasted_iota(jnp.int32, (t, ylen), 0)
+    Y = y_start + lax.broadcasted_iota(jnp.int32, (t, ylen), 1)
+    valid = (X < Y) & (X >= start) & (Y < p)
+    suff = N >= n_obs_min
+    stat = jnp.where(suff, r, 0.0)
+    logp = sf.fz_logpval(stat, N, 0, xp=jnp)
+    fill = jnp.inf if reliable_only else 0.0
+    logp = jnp.where(suff, logp, fill)
+    logp = jnp.where(valid, logp, jnp.inf)
+    unrel = (valid & ~suff).sum()
+    return logp.ravel(), stat.ravel(), unrel
+
+
+@partial(jax.jit, static_argnames=("fdr",))
+def _bh_prefix_device(logp, m, alpha, fdr):
+    """Log-space BH on device (semantics of statfuns.benjamini_hochberg).
+
+    Returns (order, ladj_sorted, n_sig): the significant set is always a
+    PREFIX of the sorted order because the adjusted value is a suffix-cummin
+    (monotone along the sort)."""
+    N = logp.shape[0]
+    order = jnp.argsort(logp)
+    slog = jnp.take(logp, order)
+    la = jnp.log(alpha)
+    if fdr:
+        ranks = jnp.arange(1, N + 1, dtype=slog.dtype)
+        terms = jnp.where(slog < la, slog + jnp.log(m) - jnp.log(ranks),
+                          jnp.inf)
+        ladj = jnp.minimum(lax.cummin(terms, reverse=True), 0.0)
+    else:
+        ladj = slog
+    n_sig = (ladj < la).sum()
+    return order, ladj, n_sig
+
+
+def _extract_significant(logp_parts, stat_parts, blocks, p, m, alpha, FDR):
+    """Run device BH over the concatenated block slabs and pull only the
+    significant pairs.  blocks: list of (offset, s, y_start, ylen)."""
+    logp = jnp.concatenate(logp_parts)
+    stat = jnp.concatenate(stat_parts)
+    dtype = logp.dtype
+    order, ladj, n_sig = _bh_prefix_device(
+        logp, jnp.asarray(m, dtype), jnp.asarray(alpha, dtype), FDR
+    )
+    n_sig = int(n_sig)
+    sig_order = order[:n_sig]
+    flat_idx = np.asarray(sig_order, dtype=np.int64)
+    stats_sig = np.asarray(jnp.take(stat, sig_order), dtype=np.float64)
+    pvals_sig = np.exp(np.asarray(ladj[:n_sig], dtype=np.float64))
+    # flat position -> (X, Y) via the per-block slab geometry
+    offsets = np.array([b[0] for b in blocks], dtype=np.int64)
+    bi = np.searchsorted(offsets, flat_idx, side="right") - 1
+    local = flat_idx - offsets[bi]
+    s_arr = np.array([b[1] for b in blocks], dtype=np.int64)
+    ys_arr = np.array([b[2] for b in blocks], dtype=np.int64)
+    ylen_arr = np.array([b[3] for b in blocks], dtype=np.int64)
+    X = s_arr[bi] + local // ylen_arr[bi]
+    Y = ys_arr[bi] + local % ylen_arr[bi]
+    nbr = {i: {} for i in range(p)}
+    for x, y, st, pv in zip(X, Y, stats_sig, pvals_sig):
+        entry = (float(st), float(pv))
+        nbr[int(x)][int(y)] = entry
+        nbr[int(y)][int(x)] = entry
+    return nbr
 
 
 class UnivarResult:
@@ -327,8 +429,9 @@ def pw_univar_neighbors(
         suff = np.empty(n_pairs, dtype=bool)
         levels_np = np.asarray(levels, dtype=np.int32)
         maxv_np = np.asarray(max_vals, dtype=np.int32)
-        use_pallas = (jax.default_backend() == "tpu" and mesh is None
-                      and L < 128)
+        use_pallas = ((jax.default_backend() == "tpu" or FORCE_PALLAS)
+                      and mesh is None and L < 128)
+        device_extract = use_pallas and not return_result
         slab = _y_slabs(p_int, tile_sz, triangle=(mesh is None))
         if use_pallas:
             from .pallas_kernels import (
@@ -338,6 +441,8 @@ def pw_univar_neighbors(
             data_j = data_j.astype(jnp.int8)  # 4x less kernel read traffic
             data_jT = jnp.asarray(data_j.T)   # native-layout MXU X operand
             marg = level_marginals(data_j, L)
+        logp_parts, stat_parts, unrel_parts, blk_meta = [], [], [], []
+        offset = 0
         for start in range(0, p_int, tile_sz):
             t = min(tile_sz, p_int - start)
             # fixed tile size for jit cache: pad the final block
@@ -350,6 +455,17 @@ def pw_univar_neighbors(
                     data_jT, data_j, marg, levels_np, maxv_np, s, tile_sz,
                     L, y_start, y_len, nz, float(hps), float(n_obs_min),
                 )
+                if device_extract:
+                    lp, stf, unrel = _flatten_block_mi(
+                        stat, df, n_obs, sp, s, start, y_start, p,
+                        (L - 1) ** 2, correct_reliable_only,
+                    )
+                    logp_parts.append(lp)
+                    stat_parts.append(stf)
+                    unrel_parts.append(unrel)
+                    blk_meta.append((offset, s, y_start, y_len))
+                    offset += tile_sz * y_len
+                    continue
             else:
                 ctab = pair_ctab_block(data_j, s, tile_sz, L, y_start, y_len)
                 stat, df, n_obs, sp = mi_block_stats(
@@ -363,6 +479,13 @@ def pw_univar_neighbors(
                  np.asarray(n_obs), np.asarray(sp)],
                 [stats, df_c, nobs_c, suff],
                 y_start=y_start,
+            )
+        if device_extract:
+            m = n_pairs
+            if correct_reliable_only:
+                m -= int(jnp.stack(unrel_parts).sum())
+            return _extract_significant(
+                logp_parts, stat_parts, blk_meta, p, m, alpha, FDR
             )
         pvals = sf.mi_pval(stats, df_c, nobs_c)
         pvals = np.where(df_c > 0, pvals, 1.0)
@@ -384,8 +507,12 @@ def pw_univar_neighbors(
         tile_sz = _choose_tile(p_int, tile)
         stats = np.empty(n_pairs)
         n_obs = np.empty(n_pairs, dtype=np.int64)
-        use_pallas = jax.default_backend() == "tpu" and mesh is None
+        use_pallas = ((jax.default_backend() == "tpu" or FORCE_PALLAS)
+                      and mesh is None)
+        device_extract = use_pallas and not return_result
         slab = _y_slabs(p_int, tile_sz, triangle=(mesh is None))
+        logp_parts, stat_parts, unrel_parts, blk_meta = [], [], [], []
+        offset = 0
         for start in range(0, p_int, tile_sz):
             t = min(tile_sz, p_int - start)
             s = start if t == tile_sz else max(0, p_int - tile_sz)
@@ -396,11 +523,29 @@ def pw_univar_neighbors(
                 r, N = fz_nz_block_pallas(data_j, s, tile_sz, y_start, y_len)
             else:
                 r, N = fz_nz_block(data_j, s, tile_sz, y_start, y_len)
+            if device_extract:
+                lp, stf, unrel = _flatten_block_fz_nz(
+                    r, N, s, start, y_start, p, float(n_obs_min),
+                    correct_reliable_only,
+                )
+                logp_parts.append(lp)
+                stat_parts.append(stf)
+                unrel_parts.append(unrel)
+                blk_meta.append((offset, s, y_start, y_len))
+                offset += tile_sz * y_len
+                continue
             _condense_block(
                 s, tile_sz, p,
                 [np.asarray(r, np.float64), np.asarray(N, np.int64)],
                 [stats, n_obs],
                 y_start=y_start,
+            )
+        if device_extract:
+            m = n_pairs
+            if correct_reliable_only:
+                m -= int(jnp.stack(unrel_parts).sum())
+            return _extract_significant(
+                logp_parts, stat_parts, blk_meta, p, m, alpha, FDR
             )
         # n_obs < n_obs_min -> stat forced to 0 (reference src/tests.jl:121-125)
         stats = np.where(n_obs >= n_obs_min, stats, 0.0)
