@@ -69,7 +69,10 @@ def prepare_lgl(data, test_name, time_limit, parallel, feed_forward, max_k,
         levels = get_levels(data)
         max_vals = get_max_vals(data)
     else:
-        if dense_cor and not is_zero_adjusted(test_name):
+        if dense_cor and max_k > 0 and not is_zero_adjusted(test_name):
+            # only the conditioning engine needs the host matrix; at max_k=0
+            # the univariate pass recomputes it on device (one Gram matmul)
+            # without pulling p x p floats through the tunnel
             cor_mat = np.asarray(uv.cor_matrix(np.asarray(data)), dtype=np.float64)
 
     if n_obs_min < 0:

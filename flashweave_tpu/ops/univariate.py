@@ -284,6 +284,30 @@ def _flatten_block_fz_nz(r, N, s, start, y_start, p, n_obs_min,
     return logp.ravel(), stat.ravel(), unrel
 
 
+@partial(jax.jit, static_argnames=("suff", "reliable_only"))
+def _flatten_fz_full(C, n, p, suff, reliable_only):
+    """Flatten the device correlation matrix's X<Y triangle into log
+    p-values (fz mode; the power check n >= n_obs_min is a run-level
+    scalar).  NaN correlations (zero-variance variables) count as
+    unreliable like the host path's NaN p-values."""
+    P = C.shape[0]
+    X = lax.broadcasted_iota(jnp.int32, (P, P), 0)
+    Y = lax.broadcasted_iota(jnp.int32, (P, P), 1)
+    valid = (X < Y) & (Y < p)
+    if suff:
+        logp = sf.fz_logpval(C, n, 0, xp=jnp)
+        bad = jnp.isnan(logp)
+        fill = jnp.inf if reliable_only else 0.0
+        logp = jnp.where(bad, fill, logp)
+    else:
+        bad = jnp.ones_like(C, dtype=bool)
+        logp = jnp.full_like(C, jnp.inf if reliable_only else 0.0)
+    logp = jnp.where(valid, logp, jnp.inf)
+    unrel = (valid & bad).sum()
+    stat = jnp.where(jnp.isnan(C), jnp.nan, C) if suff else jnp.zeros_like(C)
+    return logp.ravel(), stat.ravel(), unrel
+
+
 @partial(jax.jit, static_argnames=("fdr",))
 def _bh_prefix_device(logp, m, alpha, fdr):
     """Log-space BH on device (semantics of statfuns.benjamini_hochberg).
@@ -492,6 +516,21 @@ def pw_univar_neighbors(
         pvals = np.where(suff, pvals, 1.0)
         stats = np.where(suff, stats, 0.0)
     elif test_name == "fz":
+        device_extract = ((jax.default_backend() == "tpu" or FORCE_PALLAS)
+                          and mesh is None and not return_result
+                          and (cor_mat is None or not cor_mat.size))
+        if device_extract:
+            Cd = cor_matrix(_put(data))
+            suff_run = bool(n >= n_obs_min)
+            lp, stf, unrel = _flatten_fz_full(
+                Cd, n, p, suff_run, correct_reliable_only
+            )
+            m = n_pairs
+            if correct_reliable_only:
+                m -= int(unrel)
+            return _extract_significant(
+                [lp], [stf], [(0, 0, 0, p)], p, m, alpha, FDR
+            )
         if cor_mat is not None and cor_mat.size:
             C = np.asarray(cor_mat, dtype=np.float64)[:p, :p]
         else:
