@@ -247,20 +247,94 @@ def discretize_nz_vec(x: np.ndarray, nz_vec: np.ndarray, n_bins: int = 3,
     return out
 
 
+def _rankdata_cols(X: np.ndarray, method: str) -> np.ndarray:
+    """Column-wise 'average' or 'dense' ranks, fully vectorized (scipy's
+    rankdata(axis=0) falls back to a per-column Python loop)."""
+    n, p = X.shape
+    s_idx = np.argsort(X, axis=0, kind="stable").astype(np.int32)
+    xs = np.take_along_axis(X, s_idx, axis=0)
+    new = np.empty((n, p), dtype=bool)
+    new[0] = True
+    np.not_equal(xs[1:], xs[:-1], out=new[1:])
+    if method == "dense":
+        r_sorted = np.cumsum(new, axis=0, dtype=np.int32).astype(np.float32)
+    else:
+        pos = np.broadcast_to(np.arange(n, dtype=np.int32)[:, None], (n, p))
+        start = np.maximum.accumulate(np.where(new, pos, 0), axis=0)
+        is_end = np.empty((n, p), dtype=bool)
+        is_end[-1] = True
+        is_end[:-1] = new[1:]
+        end = np.minimum.accumulate(
+            np.where(is_end, pos, np.int32(n - 1))[::-1], axis=0
+        )[::-1]
+        # exact in f64: rank sums stay far below 2^53
+        r_sorted = (start + end).astype(np.float64) / 2.0 + 1.0
+    r = np.empty((n, p), dtype=np.float64)
+    np.put_along_axis(r, s_idx, r_sorted, axis=0)
+    return r
+
+
+def _discretize_median_all(X: np.ndarray, n_bins: int,
+                           rank_method: str) -> np.ndarray:
+    """Vectorized column-wise median-rank binning (== discretize_vec per
+    column; one axis-wide rank pass instead of a Python loop)."""
+    method = "dense" if rank_method == "dense" else "average"
+    if rank_method not in ("dense", "tied"):
+        raise ValueError(f"{rank_method} not a valid ranking method")
+    r = _rankdata_cols(X, method)
+    rmax = r.max(axis=0)
+    step = (1.0 / n_bins) + 1e-5
+    return np.floor((r / rmax) / step).astype(np.int64)
+
+
+def _discretize_median_nz(X: np.ndarray, n_bins: int, nz_mask: np.ndarray,
+                          rank_method: str) -> np.ndarray:
+    """Vectorized nz-aware binning (== discretize_nz_vec per column).
+
+    Ranks within each column's nonzero subset equal the full-column ranks
+    with zeros replaced by -inf, minus the per-column zero count ('tied') or
+    minus one dense rank ('dense') -- ties never straddle the -inf block."""
+    method = "dense" if rank_method == "dense" else "average"
+    if rank_method not in ("dense", "tied"):
+        raise ValueError(f"{rank_method} not a valid ranking method")
+    Xm = np.where(nz_mask, X, -np.inf)
+    r = _rankdata_cols(Xm, method)
+    n_zero = (~nz_mask).sum(axis=0)
+    offset = (n_zero > 0).astype(np.float64) if method == "dense" \
+        else n_zero.astype(np.float64)
+    r_nz = r - offset[None, :]
+    rmax = np.where(nz_mask, r_nz, -np.inf).max(axis=0)
+    rmax = np.where(rmax > 0, rmax, 1.0)        # all-zero columns
+    step = (1.0 / (n_bins - 1)) + 1e-5
+    out = np.floor((r_nz / rmax) / step).astype(np.int64) + 1
+    return np.where(nz_mask, out, 0)
+
+
 def discretize(X: np.ndarray, n_bins: int = 3, nz: bool = True,
                rank_method: str = "tied", disc_method: str = "median",
                nz_mask: Optional[np.ndarray] = None) -> np.ndarray:
     # reference: src/preprocessing.jl:217-235
-    X = np.asarray(X, dtype=np.float64)
+    # ranking only compares values, so the native float dtype is kept
+    # (float32 ranks == float64 ranks of the same float32 data; half the
+    # memory traffic through the sort)
+    X = np.asarray(X)
+    if X.dtype.kind != "f":
+        X = X.astype(np.float64)
+    if X.shape[1] == 0:
+        return X.astype(np.int64)
     if nz:
         if nz_mask is None or nz_mask.size == 0:
             nz_mask = X != 0
+        if disc_method == "median":
+            return _discretize_median_nz(X, n_bins, nz_mask, rank_method)
         cols = [
             discretize_nz_vec(X[:, j], nz_mask[:, j], n_bins,
                               rank_method=rank_method, disc_method=disc_method)
             for j in range(X.shape[1])
         ]
     else:
+        if disc_method == "median":
+            return _discretize_median_all(X, n_bins, rank_method)
         cols = [
             discretize_vec(X[:, j], n_bins, rank_method=rank_method,
                            disc_method=disc_method)
