@@ -142,10 +142,16 @@ def LGL(
     all_univar_nbrs: Optional[Dict] = None,
     tile: Optional[int] = None,
     mesh=None,
+    stage_timer=None,
+    profile_dir: str = "",
     **kwargs,
 ) -> LGLResult:
     """Learn a network via local-to-global HITON-PC (reference:
-    src/learning.jl:203-279)."""
+    src/learning.jl:203-279).
+
+    ``cache_pcor`` is accepted for API compatibility but has no effect: the
+    batched pcor DP evaluates every recursion node of a test batch in one
+    vectorized sweep (see learn_network's documented divergences)."""
     if tmp_folder:
         warnings.warn("tmp_folder currently not implemented")
     if edge_rule != "OR":
@@ -154,6 +160,32 @@ def LGL(
     if parallel not in VALID_PARALLEL:
         raise ValueError(f"'{parallel}' not a valid parallel mode")
 
+    from ..utils.timing import StageTimer, profiler_trace
+
+    own_timer = stage_timer is None
+    timer = StageTimer() if own_timer else stage_timer
+    with profiler_trace(profile_dir):
+        result = _lgl_timed(
+            data, test_name, max_k, alpha, hps, n_obs_min, max_tests,
+            convergence_threshold, FDR, parallel, fast_elim, no_red_tests,
+            weight_type, edge_rule, verbose, update_interval, edge_merge_fun,
+            debug, time_limit, header, dense_cor, recursive_pcor,
+            correct_reliable_only, feed_forward, track_rejections,
+            all_univar_nbrs, tile, mesh, timer, kwargs,
+        )
+    if verbose and own_timer:
+        print(timer.summary())
+    return result
+
+
+def _lgl_timed(
+    data, test_name, max_k, alpha, hps, n_obs_min, max_tests,
+    convergence_threshold, FDR, parallel, fast_elim, no_red_tests,
+    weight_type, edge_rule, verbose, update_interval, edge_merge_fun,
+    debug, time_limit, header, dense_cor, recursive_pcor,
+    correct_reliable_only, feed_forward, track_rejections, all_univar_nbrs,
+    tile, mesh, timer, kwargs,
+) -> LGLResult:
     data = np.asarray(data)
     n, p = data.shape
 
@@ -176,12 +208,14 @@ def LGL(
     if all_univar_nbrs is None:
         if verbose:
             print("Computing univariate associations")
-        all_univar_nbrs = uv.pw_univar_neighbors(
-            data, test_name=test_name, alpha=alpha, hps=hps,
-            n_obs_min=n_obs_min, FDR=FDR, levels=levels, max_vals=max_vals,
-            cor_mat=cor_mat, correct_reliable_only=correct_reliable_only,
-            tile=tile, mesh=mesh,
-        )
+        with timer.stage("univariate"):
+            all_univar_nbrs = uv.pw_univar_neighbors(
+                data, test_name=test_name, alpha=alpha, hps=hps,
+                n_obs_min=n_obs_min, FDR=FDR, levels=levels,
+                max_vals=max_vals, cor_mat=cor_mat,
+                correct_reliable_only=correct_reliable_only,
+                tile=tile, mesh=mesh,
+            )
         if verbose:
             nbr_nums = [len(v) for v in all_univar_nbrs.values()]
             print("\nUnivariate degree stats:")
@@ -225,7 +259,8 @@ def LGL(
             update_interval=update_interval, verbose=verbose,
             sequential=(parallel in ("single", "single_il")),
         )
-        nbr_states = scheduler.run()
+        with timer.stage("conditional"):
+            nbr_states = scheduler.run()
         nbr_dict = {T: st.state_results for T, st in nbr_states.items()}
         if time_limit != 0.0 or convergence_threshold != 0.0:
             for T, st in nbr_states.items():
@@ -238,14 +273,16 @@ def LGL(
 
     if verbose:
         print("\nPostprocessing")
-    weights_dict = {
-        T: make_weights(nbr_dict[T], all_univar_nbrs[T], weight_type, test_name)
-        for T in nbr_dict
-    }
-    graph = make_symmetric_graph(
-        weights_dict, edge_rule, edge_merge_fun=edge_merge_fun, max_var=p,
-        header=header,
-    )
+    with timer.stage("postprocess"):
+        weights_dict = {
+            T: make_weights(nbr_dict[T], all_univar_nbrs[T], weight_type,
+                            test_name)
+            for T in nbr_dict
+        }
+        graph = make_symmetric_graph(
+            weights_dict, edge_rule, edge_merge_fun=edge_merge_fun, max_var=p,
+            header=header,
+        )
     if verbose:
         print("Complete")
     return LGLResult(graph, rej_dict, unfinished)

@@ -83,6 +83,7 @@ def learn_network(
     parallel_mode: str = "auto",
     extra_data=None,
     share_data: bool = True,
+    profile_dir: str = "",
     **experimental_kwargs,
 ) -> FWResult:
     """Learn an interaction network (reference: src/learning.jl:466-598).
@@ -91,6 +92,19 @@ def learn_network(
     / '.biom' table (meta_data_path optionally alongside, reference
     src/learning.jl:354-371), or a list of paths to multiple datasets
     normalized independently (reference src/learning.jl:378-402).
+
+    Documented divergences (accepted for API compatibility, no effect on
+    results -- both toggles are performance knobs for the reference's
+    process-based runtime that have no TPU analogue):
+
+    - ``share_data``: the reference copies or shared-memory-maps the table
+      into worker processes (src/learning.jl:553-560).  Here the table is
+      device-resident HBM shared by every kernel already; True and False are
+      identical.
+    - ``cache_pcor``: the reference memoizes partial-correlation recursion
+      nodes in a per-worker dict (src/statfuns.jl:23-75).  The batched
+      pcor DP (ops/statfuns.pcor_dp) evaluates all nodes of a batch in one
+      vectorized sweep, so there is nothing to cache.
     """
     # path-based entries
     if isinstance(data, (list, tuple)) and data and isinstance(data[0], str):
@@ -129,6 +143,9 @@ def learn_network(
             "'learn_network(<otu_matrix>; ...)'."
         )
 
+    from ..utils.timing import StageTimer
+
+    timer = StageTimer()
     start_time = time.time()
     cont_mode = "fz" if sensitive else "mi"
     het_mode = "_nz" if heterogeneous else ""
@@ -176,11 +193,12 @@ def learn_network(
     if normalize:
         if verbose:
             print("### Normalizing ###\n")
-        res = normalize_data(
-            data, extra_data=extra_data, test_name=test_name, header=header,
-            meta_mask=meta_mask, prec=prec, verbose=verbose,
-            make_onehot=make_onehot,
-        )
+        with timer.stage("normalize"):
+            res = normalize_data(
+                data, extra_data=extra_data, test_name=test_name,
+                header=header, meta_mask=meta_mask, prec=prec,
+                verbose=verbose, make_onehot=make_onehot,
+            )
         input_data, header, meta_mask = res.data, res.header, res.meta_mask
         if verbose:
             print()
@@ -221,15 +239,19 @@ def learn_network(
 
     lgl_kwargs = dict(params_dict)
     lgl_kwargs.pop("header")
-    lgl_results = LGL(input_data, header=header, **lgl_kwargs)
+    lgl_results = LGL(input_data, header=header, stage_timer=timer,
+                      profile_dir=profile_dir, **lgl_kwargs)
 
     params_dict["heterogeneous"] = heterogeneous
     params_dict["sensitive"] = sensitive
+    params_dict["stage_times"] = dict(timer.stages)
 
     net_result = FWResult(
         lgl_results, variable_ids=header, meta_variable_mask=meta_mask,
         parameters=params_dict,
     )
     if verbose:
+        print()
+        print(timer.summary())
         print(f"\nFinished inference. Total time taken: {round(time.time() - start_time, 3)}s")
     return net_result

@@ -23,12 +23,13 @@ compilation once per bucket.  p-values are finished on host in float64.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from . import statfuns as sf
 from .contingency import cond_ctab_batch
@@ -86,6 +87,40 @@ def _mi_cond_kernel(data, levels, maxv, X, Y, Zs, kvec, hps, B, max_k, L, S, nz)
     stat = jnp.where(suff, stat, 0.0)
     df = jnp.where(suff, df, 0)
     return stat, df, n_obs, suff
+
+
+# ---------------------------------------------------------------------------
+# explicit batch sharding over the mesh (shard_map)
+#
+# Conditional-test batches are embarrassingly parallel: each device evaluates
+# its slice of the (X, Y, Zs) descriptor batch against the REPLICATED data
+# with zero collectives -- a layout equally valid over ICI and DCN.  This is
+# the TPU-native expression of the reference's @distributed test dispatch
+# (reference: src/learning.jl:141-144, src/interleaved.jl:90-93).
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _sharded_mi_cond_fn(mesh, Bloc, max_k, L, S, nz):
+    def body(data, levels, maxv, X, Y, Zs, kvec, hps):
+        return _mi_cond_kernel(data, levels, maxv, X, Y, Zs, kvec, hps,
+                               Bloc, max_k, L, S, nz)
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P("d"), P("d"), P("d"), P("d"), P()),
+        out_specs=(P("d"),) * 4, check_vma=False,
+    ))
+
+
+@lru_cache(maxsize=None)
+def _sharded_masked_cor_fn(mesh, Bloc, m):
+    def body(data, X, Y, VI):
+        return _masked_cor_kernel(data, X, Y, VI, Bloc, m)
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P("d"), P("d"), P("d")),
+        out_specs=(P("d"), P("d")), check_vma=False,
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -218,18 +253,26 @@ class CondTestEngine:
 
     def _mi_tests_seg(self, X, Y, Zs, kvec):
         B = len(X)
-        Bp = _bucket(B)
+        Bp = self._bucket(B)
         Xp = np.zeros(Bp, np.int32); Xp[:B] = X
         Yp = np.zeros(Bp, np.int32); Yp[:B] = Y
         Zp = np.zeros((Bp, self.max_k), np.int32); Zp[:B] = Zs
         kp = np.zeros(Bp, np.int32); kp[:B] = kvec
         if self.mesh is not None:
-            Xp, Yp, Zp, kp = self._shard_batch(Xp, Yp, Zp, kp)
-        stat, df, n_obs, suff = _mi_cond_kernel(
-            self.data_j, self.levels_j, self.maxv_j,
-            Xp, Yp, Zp, kp,
-            float(self.hps), Bp, self.max_k, self.L, self.S, self.nz,
-        )
+            fn = _sharded_mi_cond_fn(
+                self.mesh, Bp // self.mesh.devices.size, self.max_k, self.L,
+                self.S, self.nz,
+            )
+            stat, df, n_obs, suff = fn(
+                self.data_j, self.levels_j, self.maxv_j, Xp, Yp, Zp, kp,
+                float(self.hps),
+            )
+        else:
+            stat, df, n_obs, suff = _mi_cond_kernel(
+                self.data_j, self.levels_j, self.maxv_j,
+                Xp, Yp, Zp, kp,
+                float(self.hps), Bp, self.max_k, self.L, self.S, self.nz,
+            )
         stat = np.asarray(stat, np.float64)[:B]
         df = np.asarray(df, np.int64)[:B]
         n_obs = np.asarray(n_obs, np.float64)[:B]
@@ -255,7 +298,7 @@ class CondTestEngine:
     def _masked_cor_seg(self, pairs, var_lists):
         B = len(pairs)
         m = _bucket_m(max(len(v) for v in var_lists))
-        Bp = _bucket(B)
+        Bp = self._bucket(B)
         X = np.zeros(Bp, np.int32)
         Y = np.zeros(Bp, np.int32)
         VI = np.zeros((Bp, m), np.int32)
@@ -264,8 +307,11 @@ class CondTestEngine:
             VI[i, : len(vl)] = vl
             VI[i, len(vl):] = x  # pad with X; padded entries never gathered
         if self.mesh is not None:
-            X, Y, VI = self._shard_batch(X, Y, VI)
-        C, n_obs = _masked_cor_kernel(self.data_j, X, Y, VI, Bp, m)
+            fn = _sharded_masked_cor_fn(self.mesh,
+                                        Bp // self.mesh.devices.size, m)
+            C, n_obs = fn(self.data_j, X, Y, VI)
+        else:
+            C, n_obs = _masked_cor_kernel(self.data_j, X, Y, VI, Bp, m)
         C = np.asarray(C, np.float64)
         n_obs = np.asarray(n_obs, np.float64)
         return [(C[i], float(n_obs[i])) for i in range(B)]
@@ -313,12 +359,13 @@ class CondTestEngine:
             for i in range(len(pos_X))
         ]
 
-    def _shard_batch(self, *arrays):
-        """Shard test batches over the device mesh (data-parallel tests)."""
-        from ..parallel.mesh import batch_sharded
-
-        sh = batch_sharded(self.mesh)
-        return tuple(jax.device_put(a, sh) for a in arrays)
+    def _bucket(self, b: int) -> int:
+        """Batch bucket, rounded up so it shards evenly over the mesh."""
+        Bp = _bucket(b)
+        if self.mesh is not None:
+            ndev = self.mesh.devices.size
+            Bp += (-Bp) % ndev
+        return Bp
 
     def nz_pair_count(self, X: int, Y: int) -> int:
         """Rows where both variables are nonzero (the doubly-trimmed view size)."""

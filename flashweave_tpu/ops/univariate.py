@@ -21,13 +21,14 @@ pairs) from tiny per-pair aggregates pulled off-device.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Dict, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.sharding import PartitionSpec as P
 
 from . import statfuns as sf
 from .contingency import pair_ctab_block
@@ -308,6 +309,142 @@ def _flatten_fz_full(C, n, p, suff, reliable_only):
     return logp.ravel(), stat.ravel(), unrel
 
 
+@partial(jax.jit, static_argnames=("suff", "reliable_only"))
+def _flatten_fz_slab(C, n, y0, p, suff, reliable_only):
+    """_flatten_fz_full for a (p_int, ploc) correlation slab whose columns
+    are global variables [y0, y0+ploc) -- the per-device piece of the
+    mesh-sharded fz pass."""
+    Pr, ploc = C.shape
+    X = lax.broadcasted_iota(jnp.int32, (Pr, ploc), 0)
+    Y = y0.astype(jnp.int32) + lax.broadcasted_iota(jnp.int32, (Pr, ploc), 1)
+    valid = (X < Y) & (Y < p) & (X < p)
+    if suff:
+        logp = sf.fz_logpval(C, n, 0, xp=jnp)
+        bad = jnp.isnan(logp)
+        fill = jnp.inf if reliable_only else 0.0
+        logp = jnp.where(bad, fill, logp)
+    else:
+        bad = jnp.ones_like(C, dtype=bool)
+        logp = jnp.full_like(C, jnp.inf if reliable_only else 0.0)
+    logp = jnp.where(valid, logp, jnp.inf)
+    unrel = (valid & bad).sum()
+    stat = jnp.where(jnp.isnan(C), jnp.nan, C) if suff else jnp.zeros_like(C)
+    return logp.ravel(), stat.ravel(), unrel
+
+
+# ---------------------------------------------------------------------------
+# explicit SPMD expression over a device mesh (shard_map)
+#
+# Each X-block call shards its Y-slab over the mesh's 'd' axis: device d
+# computes the (tile, y_len/ndev) stats slab for Y variables
+# [y_start + d*ylen_loc, y_start + (d+1)*ylen_loc) from REPLICATED data (an
+# OTU table is small relative to HBM: 50k x 100k int8 is 5 GB/device).
+# Replication keeps every matmul device-local, so the only collectives in
+# the whole univariate pass are a psum of the unreliable-test count and the
+# all-gather inside the global BH argsort -- O(n_pairs) scalars once per
+# run, a layout that is equally valid over ICI and DCN.  This is the
+# TPU-native expression of the reference's distributed univariate pass
+# (reference: src/tests.jl:474-519 pmap over row-blocks + gather).
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _mesh_mi_block_fn(mesh, use_pallas, extract, tile, L, ylen_loc, p,
+                      nz, hps, n_obs_min, reliable_only, max_df):
+    """jit(shard_map) computing one X-block's stats with the Y-slab sharded
+    over the mesh.  extract=True returns the flattened (logp, stat, unrel)
+    fast-path triple; otherwise the raw (stat, df, n_obs, suff) slabs."""
+    n_data = 5 if use_pallas else 3
+
+    def body(*args):
+        s, start, y_start = args[n_data:]
+        di = lax.axis_index("d").astype(s.dtype)
+        y0 = y_start + di * ylen_loc
+        if use_pallas:
+            from .pallas_kernels import mi_univar_stats_pallas
+
+            dataT, data, marg, levels, maxv = args[:n_data]
+            stat, df, nobs, sp = mi_univar_stats_pallas(
+                dataT, data, marg, levels, maxv, s, tile, L, y0, ylen_loc,
+                nz, hps, n_obs_min,
+            )
+        else:
+            data, levels, maxv = args[:n_data]
+            ctab = pair_ctab_block(data, s, tile, L, y0, ylen_loc)
+            lx = lax.dynamic_slice(levels, (s,), (tile,))
+            ly = lax.dynamic_slice(levels, (y0,), (ylen_loc,))
+            mx = lax.dynamic_slice(maxv, (s,), (tile,))
+            my = lax.dynamic_slice(maxv, (y0,), (ylen_loc,))
+            stat, df, nobs, sp = _mi_block_stats_impl(
+                ctab, lx, ly, mx, my, hps, n_obs_min, nz, L
+            )
+        if extract:
+            lp, stf, unrel = _flatten_block_mi(
+                stat, df, nobs, sp, s, start, y0, p, max_df, reliable_only
+            )
+            return lp, stf, lax.psum(unrel, "d")
+        return stat, df, nobs, sp
+
+    in_specs = (P(),) * (n_data + 3)
+    out_specs = (P("d"), P("d"), P()) if extract else (P(None, "d"),) * 4
+    return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False))
+
+
+@lru_cache(maxsize=None)
+def _mesh_fznz_block_fn(mesh, use_pallas, extract, tile, ylen_loc, p,
+                        n_obs_min, reliable_only):
+    def body(data, s, start, y_start):
+        di = lax.axis_index("d").astype(s.dtype)
+        y0 = y_start + di * ylen_loc
+        if use_pallas:
+            from .pallas_kernels import fz_nz_block_pallas
+
+            r, N = fz_nz_block_pallas(data, s, tile, y0, ylen_loc)
+        else:
+            r, N = fz_nz_block(data, s, tile, y0, ylen_loc)
+        if extract:
+            lp, stf, unrel = _flatten_block_fz_nz(
+                r, N, s, start, y0, p, n_obs_min, reliable_only
+            )
+            return lp, stf, lax.psum(unrel, "d")
+        return r, N
+
+    out_specs = (P("d"), P("d"), P()) if extract else (P(None, "d"),) * 2
+    return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=(P(),) * 4,
+                                 out_specs=out_specs, check_vma=False))
+
+
+@lru_cache(maxsize=None)
+def _mesh_fz_fn(mesh, extract, ploc, p, suff_run, reliable_only):
+    """Sharded full correlation pass: device d computes the (p_int, ploc)
+    correlation slab against its own column range via one local matmul."""
+    def body(data):
+        n = data.shape[0]
+        di = lax.axis_index("d")
+        y0 = (di * ploc).astype(
+            jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+        )
+        mu = data.mean(axis=0, keepdims=True)
+        xc = data - mu
+        ss = (xc * xc).sum(axis=0)
+        yslab = lax.dynamic_slice(xc, (0, y0), (n, ploc))
+        cov = xc.T @ yslab
+        d_all = jnp.sqrt(ss)
+        d_y = lax.dynamic_slice(d_all, (y0,), (ploc,))
+        denom = d_all[:, None] * d_y[None, :]
+        C = jnp.where(denom > 0, cov / jnp.where(denom > 0, denom, 1.0),
+                      jnp.nan)
+        if extract:
+            lp, stf, unrel = _flatten_fz_slab(C, n, y0, p, suff_run,
+                                              reliable_only)
+            return lp, stf, lax.psum(unrel, "d")
+        return C
+
+    out_specs = (P("d"), P("d"), P()) if extract else P(None, "d")
+    return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=(P(),),
+                                 out_specs=out_specs, check_vma=False))
+
+
 @partial(jax.jit, static_argnames=("fdr",))
 def _bh_prefix_device(logp, m, alpha, fdr):
     """Log-space BH on device (semantics of statfuns.benjamini_hochberg).
@@ -414,15 +551,21 @@ def pw_univar_neighbors(
     nz = is_zero_adjusted(test_name)
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     n_pairs = p * (p - 1) // 2
+    idx_dt = np.int64 if jax.config.jax_enable_x64 else np.int32
 
-    # pad the variable axis for even device sharding; padded columns are
-    # all-zero and their pair results are discarded below
+    # pad the variable axis so Y-slabs shard evenly over the mesh; padded
+    # columns are all-zero (levels=1) and their pair results are discarded
+    ndev = 1
     p_int = p
+    tile_sz = _choose_tile(p, tile)
     if mesh is not None:
-        from ..parallel.mesh import col_sharded, pad_to_multiple
+        from ..parallel.mesh import pad_to_multiple
 
         ndev = mesh.devices.size
-        data = pad_to_multiple(np.asarray(data), ndev, axis=1)
+        p0 = p + (-p) % ndev
+        tile_sz = min(_choose_tile(p0, tile) + (-_choose_tile(p0, tile)) % ndev,
+                      p0)
+        data = pad_to_multiple(np.asarray(data), tile_sz, axis=1)
         p_int = data.shape[1]
         if levels is not None:
             levels = np.concatenate(
@@ -435,9 +578,9 @@ def pw_univar_neighbors(
     def _put(arr):
         x = jnp.asarray(arr, dtype=dtype)
         if mesh is not None:
-            from ..parallel.mesh import col_sharded
+            from ..parallel.mesh import replicated
 
-            x = jax.device_put(x, col_sharded(mesh))
+            x = jax.device_put(x, replicated(mesh))
         return x
 
     if isdiscrete(test_name):
@@ -446,7 +589,6 @@ def pw_univar_neighbors(
             max_vals = get_max_vals(data)
         L = int(np.max(max_vals)) + 1
         data_j = _put(data)
-        tile_sz = _choose_tile(p_int, tile)
         stats = np.empty(n_pairs)
         df_c = np.empty(n_pairs, dtype=np.int64)
         nobs_c = np.empty(n_pairs, dtype=np.int64)
@@ -454,9 +596,9 @@ def pw_univar_neighbors(
         levels_np = np.asarray(levels, dtype=np.int32)
         maxv_np = np.asarray(max_vals, dtype=np.int32)
         use_pallas = ((jax.default_backend() == "tpu" or FORCE_PALLAS)
-                      and mesh is None and L < 128)
-        device_extract = use_pallas and not return_result
-        slab = _y_slabs(p_int, tile_sz, triangle=(mesh is None))
+                      and L < 128)
+        device_extract = (use_pallas or mesh is not None) and not return_result
+        slab = _y_slabs(p_int, tile_sz, triangle=True)
         if use_pallas:
             from .pallas_kernels import (
                 level_marginals, mi_univar_stats_pallas,
@@ -465,6 +607,15 @@ def pw_univar_neighbors(
             data_j = data_j.astype(jnp.int8)  # 4x less kernel read traffic
             data_jT = jnp.asarray(data_j.T)   # native-layout MXU X operand
             marg = level_marginals(data_j, L)
+        if mesh is not None:
+            from ..parallel.mesh import replicated
+
+            lvl_j, mv_j = (
+                jax.device_put(jnp.asarray(a), replicated(mesh))
+                for a in (levels_np, maxv_np)
+            )
+            mesh_args = ((data_jT, data_j, marg, lvl_j, mv_j) if use_pallas
+                         else (data_j, lvl_j, mv_j))
         logp_parts, stat_parts, unrel_parts, blk_meta = [], [], [], []
         offset = 0
         for start in range(0, p_int, tile_sz):
@@ -474,7 +625,27 @@ def pw_univar_neighbors(
             y_start, y_len = slab(s)
             lvl_y = levels_np[y_start : y_start + y_len]
             mv_y = maxv_np[y_start : y_start + y_len]
-            if use_pallas:
+            if mesh is not None:
+                ylen_loc = y_len // ndev
+                fn = _mesh_mi_block_fn(
+                    mesh, use_pallas, device_extract, tile_sz, L, ylen_loc,
+                    p, nz, float(hps), float(n_obs_min),
+                    correct_reliable_only, (L - 1) ** 2,
+                )
+                out = fn(*mesh_args, idx_dt(s), idx_dt(start),
+                         idx_dt(y_start))
+                if device_extract:
+                    lp, stf, unrel = out
+                    logp_parts.append(lp)
+                    stat_parts.append(stf)
+                    unrel_parts.append(unrel)
+                    for dd in range(ndev):
+                        blk_meta.append((offset + dd * tile_sz * ylen_loc, s,
+                                         y_start + dd * ylen_loc, ylen_loc))
+                    offset += tile_sz * y_len
+                    continue
+                stat, df, n_obs, sp = out
+            elif use_pallas:
                 stat, df, n_obs, sp = mi_univar_stats_pallas(
                     data_jT, data_j, marg, levels_np, maxv_np, s, tile_sz,
                     L, y_start, y_len, nz, float(hps), float(n_obs_min),
@@ -516,12 +687,24 @@ def pw_univar_neighbors(
         pvals = np.where(suff, pvals, 1.0)
         stats = np.where(suff, stats, 0.0)
     elif test_name == "fz":
-        device_extract = ((jax.default_backend() == "tpu" or FORCE_PALLAS)
-                          and mesh is None and not return_result
-                          and (cor_mat is None or not cor_mat.size))
+        have_cor = cor_mat is not None and cor_mat.size
+        device_extract = ((jax.default_backend() == "tpu" or FORCE_PALLAS
+                           or mesh is not None)
+                          and not return_result and not have_cor)
+        suff_run = bool(n >= n_obs_min)
+        if device_extract and mesh is not None:
+            ploc = p_int // ndev
+            fn = _mesh_fz_fn(mesh, True, ploc, p, suff_run,
+                             correct_reliable_only)
+            lp, stf, unrel = fn(_put(data))
+            m = n_pairs
+            if correct_reliable_only:
+                m -= int(unrel)
+            blocks = [(dd * p_int * ploc, 0, dd * ploc, ploc)
+                      for dd in range(ndev)]
+            return _extract_significant([lp], [stf], blocks, p, m, alpha, FDR)
         if device_extract:
             Cd = cor_matrix(_put(data))
-            suff_run = bool(n >= n_obs_min)
             lp, stf, unrel = _flatten_fz_full(
                 Cd, n, p, suff_run, correct_reliable_only
             )
@@ -531,8 +714,13 @@ def pw_univar_neighbors(
             return _extract_significant(
                 [lp], [stf], [(0, 0, 0, p)], p, m, alpha, FDR
             )
-        if cor_mat is not None and cor_mat.size:
+        if have_cor:
             C = np.asarray(cor_mat, dtype=np.float64)[:p, :p]
+        elif mesh is not None:
+            ploc = p_int // ndev
+            fn = _mesh_fz_fn(mesh, False, ploc, p, suff_run,
+                             correct_reliable_only)
+            C = np.asarray(fn(_put(data)), dtype=np.float64)[:p, :p]
         else:
             C = np.asarray(cor_matrix(_put(data)), dtype=np.float64)[:p, :p]
         stats = C[np.triu_indices(p, 1)]
@@ -543,20 +731,36 @@ def pw_univar_neighbors(
         pvals = np.where(suff, pvals, 1.0)
     elif test_name == "fz_nz":
         data_j = _put(data)
-        tile_sz = _choose_tile(p_int, tile)
         stats = np.empty(n_pairs)
         n_obs = np.empty(n_pairs, dtype=np.int64)
-        use_pallas = ((jax.default_backend() == "tpu" or FORCE_PALLAS)
-                      and mesh is None)
-        device_extract = use_pallas and not return_result
-        slab = _y_slabs(p_int, tile_sz, triangle=(mesh is None))
+        use_pallas = (jax.default_backend() == "tpu" or FORCE_PALLAS)
+        device_extract = (use_pallas or mesh is not None) and not return_result
+        slab = _y_slabs(p_int, tile_sz, triangle=True)
         logp_parts, stat_parts, unrel_parts, blk_meta = [], [], [], []
         offset = 0
         for start in range(0, p_int, tile_sz):
             t = min(tile_sz, p_int - start)
             s = start if t == tile_sz else max(0, p_int - tile_sz)
             y_start, y_len = slab(s)
-            if use_pallas:
+            if mesh is not None:
+                ylen_loc = y_len // ndev
+                fn = _mesh_fznz_block_fn(
+                    mesh, use_pallas, device_extract, tile_sz, ylen_loc, p,
+                    float(n_obs_min), correct_reliable_only,
+                )
+                out = fn(data_j, idx_dt(s), idx_dt(start), idx_dt(y_start))
+                if device_extract:
+                    lp, stf, unrel = out
+                    logp_parts.append(lp)
+                    stat_parts.append(stf)
+                    unrel_parts.append(unrel)
+                    for dd in range(ndev):
+                        blk_meta.append((offset + dd * tile_sz * ylen_loc, s,
+                                         y_start + dd * ylen_loc, ylen_loc))
+                    offset += tile_sz * y_len
+                    continue
+                r, N = out
+            elif use_pallas:
                 from .pallas_kernels import fz_nz_block_pallas
 
                 r, N = fz_nz_block_pallas(data_j, s, tile_sz, y_start, y_len)

@@ -86,3 +86,23 @@ def test_graph_adjacency_exports():
     assert W[1, 2] == 0.5 and W[0, 1] == 0
     S = g.sparse_adjacency()
     np.testing.assert_array_equal(S.toarray(), W)
+
+
+def test_stage_timing_and_profiler_trace(tmp_path):
+    """Per-stage timings are recorded in the result parameters and an
+    optional jax.profiler trace is captured (SURVEY §5 aux subsystems)."""
+    from flashweave_tpu import learn_network
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 50, (80, 12)).astype(np.float64)
+    data[rng.random((80, 12)) < 0.4] = 0
+    data[:, 1] = data[:, 0]
+    trace_dir = tmp_path / "jax_trace"
+    res = learn_network(
+        data, sensitive=False, heterogeneous=False, max_k=1, verbose=False,
+        parallel_mode="single", profile_dir=str(trace_dir),
+    )
+    st = res.parameters["stage_times"]
+    assert {"normalize", "univariate", "conditional", "postprocess"} <= set(st)
+    assert all(v >= 0 for v in st.values())
+    assert trace_dir.exists() and any(trace_dir.rglob("*"))

@@ -83,6 +83,77 @@ def test_lgl_multi_il_mesh_matches_unmeshed(hmp_small):
                                  approx_weight_meandiff=0.01, verbose=True)
 
 
+def _nbr_dicts_close(a, b, rtol_stat=1e-5, rtol_pval=1e-3):
+    assert set(a.keys()) == set(b.keys())
+    for T in a:
+        assert set(a[T].keys()) == set(b[T].keys()), f"target {T}"
+        for nbr, (st1, pv1) in a[T].items():
+            st2, pv2 = b[T][nbr]
+            assert np.isclose(st1, st2, rtol=rtol_stat), (T, nbr)
+            assert np.isclose(pv1, pv2, rtol=rtol_pval, atol=1e-280), (T, nbr)
+
+
+@needs_mesh
+@pytest.mark.parametrize("p", [36, 37])  # 37: padding path (p % ndev != 0)
+@pytest.mark.parametrize("force_pallas", [False, True])
+@pytest.mark.parametrize("test_name", ["mi_nz", "mi", "fz_nz", "fz"])
+def test_univar_mesh_extract_matches_host(test_name, force_pallas, p):
+    """The mesh fast path (shard_map Y-slab sharding + device log-space BH +
+    significant-pair extraction) must reproduce the single-device host-f64
+    path's significant set and values -- with and without the Pallas kernels
+    (interpret mode)."""
+    mesh = get_mesh(8)
+    rng = np.random.default_rng(5)
+    n = 300
+    if test_name.startswith("mi"):
+        data = rng.integers(0, 3, (n, p)).astype(np.float64)
+        data[rng.random((n, p)) < 0.3] = 0.0
+    else:
+        data = np.where(rng.random((n, p)) < 0.3, 0.0,
+                        rng.standard_normal((n, p)))
+    # strong + medium signal so the significant set is stable across dtypes
+    data[:, 1] = data[:, 0]
+    data[:, 3] = np.where(rng.random(n) < 0.7, data[:, 2], data[:, 3])
+    lv = mx = None
+    if test_name.startswith("mi"):
+        from flashweave_tpu.utils.misc import get_levels, get_max_vals
+
+        lv, mx = get_levels(data.astype(int)), get_max_vals(data.astype(int))
+    host = uv.pw_univar_neighbors(data, test_name, levels=lv, max_vals=mx)
+    old = uv.FORCE_PALLAS
+    uv.FORCE_PALLAS = force_pallas
+    try:
+        meshed = uv.pw_univar_neighbors(data, test_name, levels=lv,
+                                        max_vals=mx, mesh=mesh)
+    finally:
+        uv.FORCE_PALLAS = old
+    _nbr_dicts_close(host, meshed)
+
+
+@needs_mesh
+@pytest.mark.parametrize("test_name", ["mi", "fz"])
+def test_lgl_mesh_matches_single(test_name):
+    """mi / fz LGL over the mesh vs exact sequential single mode."""
+    rng = np.random.default_rng(11)
+    n, p = 250, 30
+    if test_name == "mi":
+        d = rng.integers(0, 2, (n, p)).astype(np.float64)
+        d[:, 1] = d[:, 0]
+        d[:, 3] = np.where(rng.random(n) < 0.8, d[:, 2], d[:, 3])
+    else:
+        d = rng.standard_normal((n, p))
+        d[:, 1] = d[:, 0] + 0.1 * rng.standard_normal(n)
+        d[:, 3] = d[:, 2] + 0.5 * rng.standard_normal(n)
+    mesh = get_mesh(8)
+    g1 = LGL(d, test_name=test_name, max_k=2, parallel="single",
+             time_limit=0.0, convergence_threshold=0.0, verbose=False).graph
+    g2 = LGL(d, test_name=test_name, max_k=2, parallel="multi_il",
+             time_limit=0.0, convergence_threshold=0.0, verbose=False,
+             mesh=mesh).graph
+    assert compare_graph_results(g1, g2, approx=True, approx_nbr_diff=0,
+                                 approx_weight_meandiff=0.01, verbose=True)
+
+
 @needs_mesh
 def test_dryrun_multichip():
     import __graft_entry__ as ge
