@@ -95,24 +95,38 @@ def load_dlm(data_path: str, meta_path: Optional[str] = None,
     return data, header, meta_data, meta_header
 
 
-def load_biom_json(data_path: str):
+def load_biom_json(data_path: str, make_sparse: bool = False):
     # reference: src/io.jl:194-205
     with open(data_path) as f:
         js = json.load(f)
     if js["matrix_type"] == "sparse":
         trip = np.array(js["data"])
         n_obs, n_samples = js["shape"]
-        table = np.zeros((n_obs, n_samples))
-        table[trip[:, 0].astype(int), trip[:, 1].astype(int)] = trip[:, 2]
-        table = table.T
+        if make_sparse:
+            from scipy.sparse import coo_matrix
+
+            table = coo_matrix(
+                (trip[:, 2], (trip[:, 1].astype(int), trip[:, 0].astype(int))),
+                shape=(n_samples, n_obs), dtype=np.float64,
+            ).tocsr()
+        else:
+            table = np.zeros((n_obs, n_samples))
+            table[trip[:, 0].astype(int), trip[:, 1].astype(int)] = trip[:, 2]
+            table = table.T
     else:
         table = np.array(js["data"], dtype=np.float64).T
+        if make_sparse:
+            from scipy.sparse import csr_matrix
+
+            table = csr_matrix(table)
     header = [r["id"] for r in js["rows"]]
     return table, header
 
 
-def load_biom_hdf5(data_path: str):
-    # reference: src/io.jl:208-225
+def load_biom_hdf5(data_path: str, make_sparse: bool = False):
+    # reference: src/io.jl:208-225.  make_sparse keeps the on-disk CSC
+    # structure as a scipy.sparse matrix (the reference is sparse-first); the
+    # preprocessing layer streams it without a dense float64 copy.
     import h5py
     from scipy.sparse import csc_matrix
 
@@ -125,17 +139,20 @@ def load_biom_hdf5(data_path: str):
             h.decode() if isinstance(h, bytes) else str(h)
             for h in f["observation/ids"][()]
         ]
-    table = csc_matrix((vals, indices, indptr), shape=(m, n)).toarray().T
-    return np.asarray(table, dtype=np.float64), header
+    table = csc_matrix((vals, indices, indptr), shape=(m, n)).T
+    if make_sparse:
+        return table.tocsr().astype(np.float64), header
+    return np.asarray(table.todense(), dtype=np.float64), header
 
 
-def load_biom(data_path: str, meta_path: Optional[str] = None):
+def load_biom(data_path: str, meta_path: Optional[str] = None,
+              make_sparse: bool = False):
     # reference: src/io.jl:228-246
     try:
-        data, header = load_biom_hdf5(data_path)
+        data, header = load_biom_hdf5(data_path, make_sparse=make_sparse)
     except Exception:
         try:
-            data, header = load_biom_json(data_path)
+            data, header = load_biom_json(data_path, make_sparse=make_sparse)
         except Exception as e:
             raise ValueError(
                 f"Error in 'load_biom'. File {data_path} seems not to be valid .biom"
@@ -194,10 +211,12 @@ def load_data(data_path: str, meta_data_path: Optional[str] = None,
               transposed: bool = False, otu_data_key: str = "otu_data",
               otu_header_key: str = "otu_header",
               meta_data_key: Optional[str] = "meta_data",
-              meta_header_key: Optional[str] = "meta_header", **kwargs):
+              meta_header_key: Optional[str] = "meta_header",
+              make_sparse: bool = False, **kwargs):
     """Load an OTU table (+ optional meta table) from '.tsv', '.csv',
     '.biom' or key-addressed binary '.npz' (reference: src/io.jl:29-59).
-    Returns (data, header, meta_data, meta_header)."""
+    Returns (data, header, meta_data, meta_header).  ``make_sparse`` keeps
+    '.biom' tables as scipy.sparse (the whole pipeline accepts them)."""
     ext = _ext(data_path)
     if transposed and ext == ".biom":
         warnings.warn("'transposed' cannot be used with .biom files")
@@ -217,7 +236,7 @@ def load_data(data_path: str, meta_data_path: Optional[str] = None,
     if ext in VALID_DLM_FORMATS:
         return load_dlm(data_path, meta_data_path, transposed=transposed)
     if ext == ".biom":
-        return load_biom(data_path, meta_data_path)
+        return load_biom(data_path, meta_data_path, make_sparse=make_sparse)
     if ext == ".npz":
         return load_npz_data(
             data_path, otu_data_key=otu_data_key,

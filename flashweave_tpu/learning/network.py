@@ -18,10 +18,11 @@ VALID_PARALLEL_MODES = ("multi_il", "multi_ep", "single_il", "single", "auto")
 
 
 def make_table(data_path: str, meta_data_path: Optional[str] = None,
-               transposed: bool = False, **kwargs):
+               transposed: bool = False, make_sparse: bool = False, **kwargs):
     """Load + combine OTU and meta tables (reference: src/learning.jl:298-317)."""
     data, header, meta_data, meta_header = load_data(
-        data_path, meta_data_path, transposed=transposed
+        data_path, meta_data_path, transposed=transposed,
+        make_sparse=make_sparse,
     )
     if meta_data is None:
         meta_mask = np.zeros(len(header), dtype=bool)
@@ -41,6 +42,26 @@ def make_table(data_path: str, meta_data_path: Optional[str] = None,
 def combine_data_with_meta(data, header, meta_data, meta_header):
     # reference: src/learning.jl:281-296
     n_meta = len(meta_header)
+    from scipy import sparse as sp
+
+    if sp.issparse(data):
+        meta_arr = np.asarray(meta_data)
+        if meta_arr.dtype == object or meta_arr.dtype.kind in "US":
+            warnings.warn(
+                "sparse OTU table combined with non-numeric meta variables; "
+                "densifying the table for the combine step"
+            )
+            data = np.asarray(data.todense())
+        else:
+            comb = sp.hstack(
+                [data.tocsr(), sp.csr_matrix(meta_arr.astype(np.float64))]
+            ).tocsr()
+            header_comb = list(header) + list(meta_header)
+            meta_mask = np.concatenate(
+                [np.zeros(comb.shape[1] - n_meta, dtype=bool),
+                 np.ones(n_meta, dtype=bool)]
+            )
+            return comb, header_comb, meta_mask
     if meta_data.dtype == object or data.dtype == object:
         comb = np.empty((data.shape[0], data.shape[1] + n_meta), dtype=object)
         comb[:, : data.shape[1]] = data
@@ -132,7 +153,8 @@ def learn_network(
         if verbose:
             print("\n### Loading data ###\n")
         data, header, meta_mask = make_table(
-            data, meta_data_path, transposed=transposed
+            data, meta_data_path, transposed=transposed,
+            make_sparse=bool(make_sparse),
         )
         transposed = False  # consumed by the loader
     elif meta_data_path is not None:
@@ -163,11 +185,21 @@ def learn_network(
             f"of {VALID_PARALLEL_MODES}"
         )
 
-    data = np.asarray(data)
+    from scipy import sparse as sp
+
+    if sp.issparse(data):
+        data = data.tocsr()
+    else:
+        data = np.asarray(data)
+        if make_sparse:
+            data = sp.csr_matrix(data)
     if transposed:
         data = data.T
         if extra_data is not None:
-            extra_data = [(np.asarray(X).T, h) for X, h in extra_data]
+            extra_data = [
+                (X.T if sp.issparse(X) else np.asarray(X).T, h)
+                for X, h in extra_data
+            ]
 
     if meta_mask is None:
         meta_mask = np.zeros(data.shape[1], dtype=bool)
@@ -204,6 +236,8 @@ def learn_network(
             print()
     else:
         warnings.warn("Skipping normalization, only experts should choose this option")
+        if sp.issparse(data):
+            data = np.asarray(data.todense())
         if extra_data is None:
             input_data = data
         else:

@@ -38,6 +38,9 @@ from ..types import TestResult
 # batch-size buckets bound the jit cache (requests are padded up)
 BATCH_BUCKETS = (64, 256, 1024, 4096)
 
+# running count of conditional CI tests dispatched (bench/diagnostics)
+N_TESTS_DISPATCHED = 0
+
 # max elements in flight for the gathered (rows, B, m) masked-cor tensor
 MCOR_ROW_BUDGET = 1 << 26
 
@@ -47,6 +50,15 @@ def _bucket(b: int) -> int:
         if b <= s:
             return s
     return ((b + BATCH_BUCKETS[-1] - 1) // BATCH_BUCKETS[-1]) * BATCH_BUCKETS[-1]
+
+
+def _nseg_bucket(k: int) -> int:
+    """Segment-count bucket for the scanned mega-batch: <= 12.5% padding
+    with a bounded number of distinct compiled shapes (4 per octave)."""
+    if k <= 8:
+        return k
+    step = 1 << max(k.bit_length() - 3, 0)
+    return -(-k // step) * step
 
 
 # ---------------------------------------------------------------------------
@@ -109,6 +121,33 @@ def _sharded_mi_cond_fn(mesh, Bloc, max_k, L, S, nz):
         body, mesh=mesh,
         in_specs=(P(), P(), P(), P("d"), P("d"), P("d"), P("d"), P()),
         out_specs=(P("d"),) * 4, check_vma=False,
+    ))
+
+
+@lru_cache(maxsize=None)
+def _mi_cond_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz):
+    """lax.scan of the conditional MI kernel over ``nseg`` fixed-size
+    segments -- ONE device dispatch per scheduler round no matter how large
+    the round batch, instead of ceil(B/bucket) sequential calls each paying
+    tunnel/dispatch latency.  With a mesh, each segment's batch axis is
+    sharded over the devices (embarrassingly parallel, no collectives)."""
+    def scan_body(data, levels, maxv, X, Y, Zs, kvec, hps):
+        def body(carry, seg):
+            Xs, Ys, Zss, ks = seg
+            out = _mi_cond_kernel(data, levels, maxv, Xs, Ys, Zss, ks, hps,
+                                  Bloc, max_k, L, S, nz)
+            return carry, out
+
+        _, outs = jax.lax.scan(body, 0, (X, Y, Zs, kvec))
+        return outs
+
+    if mesh is None:
+        return jax.jit(scan_body)
+    return jax.jit(jax.shard_map(
+        scan_body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(None, "d"), P(None, "d"), P(None, "d"),
+                  P(None, "d"), P()),
+        out_specs=(P(None, "d"),) * 4, check_vma=False,
     ))
 
 
@@ -232,17 +271,41 @@ class CondTestEngine:
         """Evaluate B conditional MI tests; Zs shape (B, max_k), padded with 0.
         Returns numpy arrays (stat, pval, df, suff).
 
-        Arbitrary B is processed in fixed bucket-size segments so only the
-        bucket shapes in BATCH_BUCKETS are ever compiled."""
+        B up to the largest bucket compiles one fixed BATCH_BUCKETS shape;
+        larger batches run as ONE device dispatch scanning fixed-size
+        segments (lax.scan), so a big scheduler round never pays per-segment
+        dispatch latency."""
+        global N_TESTS_DISPATCHED
         B = len(X)
-        parts = []
-        seg_max = BATCH_BUCKETS[-1]
-        for s in range(0, B, seg_max):
-            e = min(s + seg_max, B)
-            parts.append(self._mi_tests_seg(X[s:e], Y[s:e], Zs[s:e], kvec[s:e]))
-        if len(parts) == 1:
-            return parts[0]
-        return tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
+        N_TESTS_DISPATCHED += B
+        seg = BATCH_BUCKETS[-1]
+        if B <= seg:
+            return self._mi_tests_seg(X, Y, Zs, kvec)
+        return self._mi_tests_scan(X, Y, Zs, kvec, seg)
+
+    def _mi_tests_scan(self, X, Y, Zs, kvec, seg):
+        B = len(X)
+        ndev = 1 if self.mesh is None else self.mesh.devices.size
+        nseg = _nseg_bucket(-(-B // seg))
+        Bp = nseg * seg
+        Xp = np.zeros(Bp, np.int32); Xp[:B] = X
+        Yp = np.zeros(Bp, np.int32); Yp[:B] = Y
+        Zp = np.zeros((Bp, self.max_k), np.int32); Zp[:B] = Zs
+        kp = np.zeros(Bp, np.int32); kp[:B] = kvec
+        fn = _mi_cond_scan_fn(self.mesh, nseg, seg // ndev, self.max_k,
+                              self.L, self.S, self.nz)
+        stat, df, n_obs, suff = fn(
+            self.data_j, self.levels_j, self.maxv_j,
+            Xp.reshape(nseg, seg), Yp.reshape(nseg, seg),
+            Zp.reshape(nseg, seg, self.max_k), kp.reshape(nseg, seg),
+            float(self.hps),
+        )
+        stat = np.asarray(stat, np.float64).reshape(Bp)[:B]
+        df = np.asarray(df, np.int64).reshape(Bp)[:B]
+        n_obs = np.asarray(n_obs, np.float64).reshape(Bp)[:B]
+        suff = np.asarray(suff).reshape(Bp)[:B]
+        pval = np.where(suff, sf.mi_pval(stat, df, n_obs), 1.0)
+        return stat, pval, df, suff
 
     def mi_tests(self, X, Y, Zs, kvec) -> List[TestResult]:
         stat, pval, df, suff = self.mi_tests_raw(X, Y, Zs, kvec)
@@ -326,7 +389,9 @@ class CondTestEngine:
         Mirrors reference src/tests.jl:250-265: suff_power is the
         n_obs >= n_obs_min check; pval uses len_z = 0.
         """
+        global N_TESTS_DISPATCHED
         B = len(pos_X)
+        N_TESTS_DISPATCHED += B
         if n_obs < self.n_obs_min:
             return (np.zeros(B), np.ones(B), np.zeros(B, np.int64),
                     np.zeros(B, bool))

@@ -22,6 +22,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 
 try:  # pallas TPU backend only exists with a TPU-capable jaxlib
@@ -241,113 +242,132 @@ def _make_mi_stats_kernel(L, nz, hps, n_obs_min, n_rows):
 
         @pl.when(k == pl.num_programs(2) - 1)
         def _():
-            # reconstruct the full L x L table from the (L-1)^2 joint counts
-            # and the fixed margins, exactly, in int32
-            mx = [mx_ref[l, :].reshape(-1, 1) for l in range(L)]  # (tx, 1)
-            my = [my_ref[l, :].reshape(1, -1) for l in range(L)]  # (1, ty)
-            cnt = {}
-            for ia in range(1, L):
-                for ib in range(1, L):
-                    cnt[(ia, ib)] = acc_ref[(ia - 1) * K + (ib - 1), :, :]
-            for ia in range(1, L):
-                cnt[(ia, 0)] = mx[ia] - sum(
-                    cnt[(ia, ib)] for ib in range(1, L)
-                )
-            for ib in range(1, L):
-                cnt[(0, ib)] = my[ib] - sum(
-                    cnt[(ia, ib)] for ia in range(1, L)
-                )
-            cnt[(0, 0)] = (
-                n_rows - sum(mx[1:]) - sum(my[1:])
-                + sum(cnt[(ia, ib)] for ia in range(1, L)
-                      for ib in range(1, L))
+            _mi_epilogue(
+                lambda ia, ib: acc_ref[(ia - 1) * K + (ib - 1), :, :],
+                mx_ref, my_ref, lx_ref, ly_ref, mvx_ref, mvy_ref,
+                stat_ref, df_ref, nobs_ref, suff_ref,
+                L, nz, hps, n_obs_min, n_rows,
             )
-            # Boolean logic is expressed as float 0/1 masks with arithmetic
-            # and/or (Mosaic can't truncate i8 vectors to i1, so vector `&`
-            # chains fail to compile); every comparison stays a single f32
-            # cmp + cast, which lowers cleanly to the VPU.
-            f32 = jnp.float32
-            lx = lx_ref[:].reshape(-1, 1).astype(f32)   # (tx, 1)
-            ly = ly_ref[:].reshape(1, -1).astype(f32)   # (1, ty)
-            if nz:
-                ox = (mvx_ref[:].reshape(-1, 1) > 1).astype(f32)
-                oy = (mvy_ref[:].reshape(1, -1) > 1).astype(f32)
-            else:
-                ox = jnp.zeros_like(lx)
-                oy = jnp.zeros_like(ly)
-
-            xmask = [(av >= ox).astype(f32) for av in range(L)]
-            ymask = [(bv >= oy).astype(f32) for bv in range(L)]
-
-            def subplane(av, bv):
-                return cnt[(av, bv)].astype(f32) * xmask[av] * ymask[bv]
-
-            row = [
-                sum(subplane(av, bv) for bv in range(L)) for av in range(L)
-            ]
-            col = [
-                sum(subplane(av, bv) for av in range(L)) for bv in range(L)
-            ]
-            n_obs = sum(row)
-            # MI terms with diag/offdiag split (sign semantics of
-            # reference src/statfuns.jl:209-254)
-            mi_pos = jnp.zeros_like(n_obs)
-            mi_neg = jnp.zeros_like(n_obs)
-            n_pos = jnp.zeros_like(n_obs)
-            for av in range(L):
-                for bv in range(L):
-                    s_ab = subplane(av, bv)
-                    # s_ab > 0 implies row/col marginals > 0
-                    validf = (s_ab > 0).astype(f32)
-                    inv = 1.0 - validf
-                    ratio = (n_obs * s_ab + inv) / (row[av] * col[bv] + inv)
-                    term = jnp.log(ratio) * s_ab
-                    diagf = ((av - ox) == (bv - oy)).astype(f32)
-                    mi_pos += diagf * term
-                    mi_neg += (1.0 - diagf) * term
-                    n_pos += diagf * s_ab
-            n_neg = n_obs - n_pos
-            safe_n = jnp.maximum(n_obs, 1.0)
-            mi = (mi_pos + mi_neg) / safe_n
-            flipf = (mi_neg * n_neg > mi_pos * n_pos).astype(f32)
-            mi = mi * (1.0 - 2.0 * flipf)
-            # adjusted df (reference src/statfuns.jl:281-305)
-            alx = sum((r != 0).astype(f32) for r in row)
-            aly = sum((c != 0).astype(f32) for c in col)
-            df = (jnp.maximum(alx, 1.0) - 1.0) * (jnp.maximum(aly, 1.0) - 1.0)
-            # pre-check on the X-trimmed view (reference src/tests.jl:9-20)
-            n_view = sum(
-                cnt[(av, bv)].astype(f32) * xmask[av]
-                for av in range(L) for bv in range(L)
-            )
-            plx = lx - 1.0 - (lx > 1.0).astype(f32)
-            ply = ly - 1.0 - (ly > 1.0).astype(f32)
-            cells_pre = plx * ply
-            # ok iff cells <= 0 OR n/cells > hps (Julia n/0 == Inf > hps)
-            pre_ratio_ok = jnp.maximum(
-                (n_view > hps * cells_pre).astype(f32),
-                (cells_pre <= 0).astype(f32),
-            )
-            pre_ok = (n_view >= n_obs_min).astype(f32) * pre_ratio_ok
-            if nz:
-                lx_eff = L - ox
-                ly_eff = L - oy
-            else:
-                lx_eff = lx * jnp.ones_like(oy)
-                ly_eff = ly * jnp.ones_like(ox)
-            cells_post = lx_eff * ly_eff
-            post_ratio_ok = jnp.maximum(
-                (n_obs > hps * cells_post).astype(f32),
-                (cells_post <= 0).astype(f32),
-            )
-            post_ok = (n_obs >= n_obs_min).astype(f32) * post_ratio_ok
-            sufff = pre_ok * post_ok * (lx >= 2.0).astype(f32)
-            stat_ref[:] = mi * sufff
-            df_ref[:] = (df * sufff).astype(jnp.int32)
-            nobs_ref[:] = n_obs.astype(jnp.int32)
-            suff_ref[:] = sufff.astype(jnp.int32)
 
     return kernel
+
+
+def _mi_epilogue(joint, mx_ref, my_ref, lx_ref, ly_ref, mvx_ref, mvy_ref,
+                 stat_ref, df_ref, nobs_ref, suff_ref,
+                 L, nz, hps, n_obs_min, n_rows):
+    """Shared in-VMEM G-test epilogue: full-table reconstruction from the
+    (L-1)^2 joint counts + fixed margins, nz slicing, signed MI, df
+    adjustment, power checks (semantics of ops.univariate.mi_block_stats,
+    reference src/statfuns.jl:163-323 + src/tests.jl:28-103).
+
+    ``joint(ia, ib)`` returns the int32 (tx, ty) count plane of level pair
+    (ia, ib) for 1 <= ia, ib < L.
+    """
+    # reconstruct the full L x L table from the (L-1)^2 joint counts
+    # and the fixed margins, exactly, in int32
+    mx = [mx_ref[l, :].reshape(-1, 1) for l in range(L)]  # (tx, 1)
+    my = [my_ref[l, :].reshape(1, -1) for l in range(L)]  # (1, ty)
+    cnt = {}
+    for ia in range(1, L):
+        for ib in range(1, L):
+            cnt[(ia, ib)] = joint(ia, ib)
+    for ia in range(1, L):
+        cnt[(ia, 0)] = mx[ia] - sum(
+            cnt[(ia, ib)] for ib in range(1, L)
+        )
+    for ib in range(1, L):
+        cnt[(0, ib)] = my[ib] - sum(
+            cnt[(ia, ib)] for ia in range(1, L)
+        )
+    cnt[(0, 0)] = (
+        n_rows - sum(mx[1:]) - sum(my[1:])
+        + sum(cnt[(ia, ib)] for ia in range(1, L)
+              for ib in range(1, L))
+    )
+    # Boolean logic is expressed as float 0/1 masks with arithmetic
+    # and/or (Mosaic can't truncate i8 vectors to i1, so vector `&`
+    # chains fail to compile); every comparison stays a single f32
+    # cmp + cast, which lowers cleanly to the VPU.
+    f32 = jnp.float32
+    lx = lx_ref[:].reshape(-1, 1).astype(f32)   # (tx, 1)
+    ly = ly_ref[:].reshape(1, -1).astype(f32)   # (1, ty)
+    if nz:
+        ox = (mvx_ref[:].reshape(-1, 1) > 1).astype(f32)
+        oy = (mvy_ref[:].reshape(1, -1) > 1).astype(f32)
+    else:
+        ox = jnp.zeros_like(lx)
+        oy = jnp.zeros_like(ly)
+
+    xmask = [(av >= ox).astype(f32) for av in range(L)]
+    ymask = [(bv >= oy).astype(f32) for bv in range(L)]
+
+    def subplane(av, bv):
+        return cnt[(av, bv)].astype(f32) * xmask[av] * ymask[bv]
+
+    row = [
+        sum(subplane(av, bv) for bv in range(L)) for av in range(L)
+    ]
+    col = [
+        sum(subplane(av, bv) for av in range(L)) for bv in range(L)
+    ]
+    n_obs = sum(row)
+    # MI terms with diag/offdiag split (sign semantics of
+    # reference src/statfuns.jl:209-254)
+    mi_pos = jnp.zeros_like(n_obs)
+    mi_neg = jnp.zeros_like(n_obs)
+    n_pos = jnp.zeros_like(n_obs)
+    for av in range(L):
+        for bv in range(L):
+            s_ab = subplane(av, bv)
+            # s_ab > 0 implies row/col marginals > 0
+            validf = (s_ab > 0).astype(f32)
+            inv = 1.0 - validf
+            ratio = (n_obs * s_ab + inv) / (row[av] * col[bv] + inv)
+            term = jnp.log(ratio) * s_ab
+            diagf = ((av - ox) == (bv - oy)).astype(f32)
+            mi_pos += diagf * term
+            mi_neg += (1.0 - diagf) * term
+            n_pos += diagf * s_ab
+    n_neg = n_obs - n_pos
+    safe_n = jnp.maximum(n_obs, 1.0)
+    mi = (mi_pos + mi_neg) / safe_n
+    flipf = (mi_neg * n_neg > mi_pos * n_pos).astype(f32)
+    mi = mi * (1.0 - 2.0 * flipf)
+    # adjusted df (reference src/statfuns.jl:281-305)
+    alx = sum((r != 0).astype(f32) for r in row)
+    aly = sum((c != 0).astype(f32) for c in col)
+    df = (jnp.maximum(alx, 1.0) - 1.0) * (jnp.maximum(aly, 1.0) - 1.0)
+    # pre-check on the X-trimmed view (reference src/tests.jl:9-20)
+    n_view = sum(
+        cnt[(av, bv)].astype(f32) * xmask[av]
+        for av in range(L) for bv in range(L)
+    )
+    plx = lx - 1.0 - (lx > 1.0).astype(f32)
+    ply = ly - 1.0 - (ly > 1.0).astype(f32)
+    cells_pre = plx * ply
+    # ok iff cells <= 0 OR n/cells > hps (Julia n/0 == Inf > hps)
+    pre_ratio_ok = jnp.maximum(
+        (n_view > hps * cells_pre).astype(f32),
+        (cells_pre <= 0).astype(f32),
+    )
+    pre_ok = (n_view >= n_obs_min).astype(f32) * pre_ratio_ok
+    if nz:
+        lx_eff = L - ox
+        ly_eff = L - oy
+    else:
+        lx_eff = lx * jnp.ones_like(oy)
+        ly_eff = ly * jnp.ones_like(ox)
+    cells_post = lx_eff * ly_eff
+    post_ratio_ok = jnp.maximum(
+        (n_obs > hps * cells_post).astype(f32),
+        (cells_post <= 0).astype(f32),
+    )
+    post_ok = (n_obs >= n_obs_min).astype(f32) * post_ratio_ok
+    sufff = pre_ok * post_ok * (lx >= 2.0).astype(f32)
+    stat_ref[:] = mi * sufff
+    df_ref[:] = (df * sufff).astype(jnp.int32)
+    nobs_ref[:] = n_obs.astype(jnp.int32)
+    suff_ref[:] = sufff.astype(jnp.int32)
 
 
 def _pad_vec(v, t, fill):
@@ -434,6 +454,144 @@ def mi_univar_stats_pallas(dataT, data, marg, levels, max_vals, start, tile,
     )(at, b, mx, my, lx, ly, mvx, mvy)
     return (stat[:tile, :y_len], df[:tile, :y_len], nobs[:tile, :y_len],
             suff[:tile, :y_len].astype(bool))
+
+
+# ---------------------------------------------------------------------------
+# packed indicator-plane univariate kernel (pure-MXU variant)
+#
+# The fused kernel above forms one-hot indicators on the VPU inside every
+# (i, j, k) grid cell, costing ~K*(tx+ty)*tn f32 compares/casts per cell on
+# top of the K^2 int8 dots.  This variant precomputes the int8 level
+# indicators ONCE per sweep as HBM planes packed in tile layout -- X as
+# (p/tx, K*tx, n) and Y as (n, p/ty * K*ty) -- so the kernel body is a single
+# (K*tx, tn) @ (tn, K*ty) int8 MXU contraction per grid cell producing all
+# K^2 joint-count blocks at once, with zero elementwise work until the
+# epilogue.  HBM read traffic grows K-fold.
+#
+# ABLATION VARIANT, not on the driver path: measured on v5e it ties the fused
+# kernel at equal tiles (the fused kernel's VPU work is already hidden behind
+# the MXU) -- see PERF.md.  Kept tested for future toolchains where larger
+# tiles compile.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("L", "tx", "tn"))
+def x_indicator_planes(dataT, L, tx, tn):
+    """(p/tx, K*tx, n_pad) int8 packed X indicator planes from (p, n) data.
+
+    Tile i, row ia*tx + t, column r holds 1 iff data[r, i*tx + t] == ia + 1.
+    Pad variables/rows (value -1) match no level, so their counts are 0.
+    """
+    K = L - 1
+    d = _pad_cols(dataT.astype(jnp.int8).T, tx, -1).T   # pad variables
+    d = _pad_cols(d, tn, -1)                            # pad samples
+    p_pad, n_pad = d.shape
+    lv = jnp.arange(1, L, dtype=jnp.int8)
+    d4 = d.reshape(p_pad // tx, 1, tx, n_pad)
+    planes = (d4 == lv[:, None, None]).astype(jnp.int8)  # (PT, K, tx, n)
+    return planes.reshape(p_pad // tx, K * tx, n_pad)
+
+
+@partial(jax.jit, static_argnames=("L", "ty", "tn"))
+def y_indicator_planes(data, L, ty, tn):
+    """(n_pad, p/ty * K*ty) int8 packed Y indicator planes from (n, p) data.
+
+    Column block j*K*ty + ib*ty + c holds 1 iff data[r, j*ty + c] == ib + 1.
+    """
+    K = L - 1
+    d = _pad_cols(_pad_rows(data.astype(jnp.int8), tn, -1), ty, -1)
+    n_pad, p_pad = d.shape
+    lv = jnp.arange(1, L, dtype=jnp.int8)
+    d4 = d.reshape(n_pad, p_pad // ty, 1, ty)
+    planes = (d4 == lv[:, None]).astype(jnp.int8)        # (n, PT, K, ty)
+    return planes.reshape(n_pad, (p_pad // ty) * K * ty)
+
+
+def _make_mi_planes_kernel(L, nz, hps, n_obs_min, n_rows, tx, ty):
+    K = L - 1
+
+    def kernel(xt_ref, yp_ref, mx_ref, my_ref, lx_ref, ly_ref, mvx_ref,
+               mvy_ref, stat_ref, df_ref, nobs_ref, suff_ref, acc_ref):
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        # ONE packed int8 MXU contraction = all K^2 joint-count blocks
+        acc_ref[:, :] += jax.lax.dot_general(
+            xt_ref[:], yp_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+        @pl.when(k == pl.num_programs(1) - 1)
+        def _():
+            _mi_epilogue(
+                lambda ia, ib: acc_ref[(ia - 1) * tx:ia * tx,
+                                       (ib - 1) * ty:ib * ty],
+                mx_ref, my_ref, lx_ref, ly_ref, mvx_ref, mvy_ref,
+                stat_ref, df_ref, nobs_ref, suff_ref,
+                L, nz, hps, n_obs_min, n_rows,
+            )
+
+    return kernel
+
+
+@partial(jax.jit,
+         static_argnames=("L", "y_start", "y_len", "nz", "hps", "n_obs_min",
+                          "n_rows", "tx", "ty", "tn"))
+def mi_univar_stats_planes(xplanes, yplanes, margX, margY, levelsX, levelsY,
+                           maxvX, maxvY, bi, L, y_start, y_len, nz, hps,
+                           n_obs_min, n_rows, tx=512, ty=512, tn=2048):
+    """Univariate MI stats of X-tile ``bi`` (variables [bi*tx, (bi+1)*tx))
+    against the Y-slab [y_start, y_start+y_len) from precomputed packed
+    indicator planes.  y_start/y_len must be multiples of ty (they index the
+    packed Y layout); bi is traced so one compilation covers all X-tiles.
+
+    Args:
+      xplanes: (p/tx, K*tx, n_pad) from :func:`x_indicator_planes`.
+      yplanes: (n_pad, p/ty * K*ty) from :func:`y_indicator_planes`.
+      margX/margY: (L, p_padX) / (L, p_padY) level marginals padded to the
+        respective tile multiples.
+      levelsX/maxvX: (1, p_padX) int32 (pad: levels 1, max_vals 0); same for Y.
+    Returns (stat f32, df i32, n_obs i32, suff bool), each (tx, y_len).
+    """
+    K = L - 1
+    n_pad = xplanes.shape[2]
+    xt = lax.dynamic_slice(
+        xplanes, (bi, 0, 0), (1, K * tx, n_pad)
+    ).reshape(K * tx, n_pad)
+    mx = lax.dynamic_slice(margX, (0, bi * tx), (L, tx))
+    lx = lax.dynamic_slice(levelsX, (0, bi * tx), (1, tx))
+    mvx = lax.dynamic_slice(maxvX, (0, bi * tx), (1, tx))
+    jy0 = y_start // ty
+    grid = (y_len // ty, n_pad // tn)
+    scratch = [pltpu.VMEM((K * tx, K * ty), jnp.int32)]
+    res_spec = pl.BlockSpec((tx, ty), lambda j, k: (0, j))
+    stat, df, nobs, suff = pl.pallas_call(
+        _make_mi_planes_kernel(L, nz, float(hps), float(n_obs_min), n_rows,
+                               tx, ty),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((K * tx, tn), lambda j, k: (0, k)),
+            pl.BlockSpec((tn, K * ty), lambda j, k: (k, jy0 + j)),
+            pl.BlockSpec((L, tx), lambda j, k: (0, 0)),
+            pl.BlockSpec((L, ty), lambda j, k: (0, jy0 + j)),
+            pl.BlockSpec((1, tx), lambda j, k: (0, 0)),
+            pl.BlockSpec((1, ty), lambda j, k: (0, jy0 + j)),
+            pl.BlockSpec((1, tx), lambda j, k: (0, 0)),
+            pl.BlockSpec((1, ty), lambda j, k: (0, jy0 + j)),
+        ],
+        out_specs=[res_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((tx, y_len), jnp.float32),
+            jax.ShapeDtypeStruct((tx, y_len), jnp.int32),
+            jax.ShapeDtypeStruct((tx, y_len), jnp.int32),
+            jax.ShapeDtypeStruct((tx, y_len), jnp.int32),
+        ],
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+    )(xt, yplanes, mx, margY, lx, levelsY, mvx, maxvY)
+    return stat, df, nobs, suff.astype(bool)
 
 
 @partial(jax.jit, static_argnames=("tile", "L"))

@@ -11,8 +11,17 @@ normalizes in Float64 and casts afterwards, reference
 src/preprocessing.jl:325-346, misc.jl:54-62); the TPU data plane receives the
 final dense matrix.  Sparse storage is a CPU memory optimization in the
 reference -- on TPU zeros are SEMANTIC (the `_nz` modes) and are represented
-as dense values + masks, so `make_sparse` is accepted for API compatibility
-but the layout is always dense.
+as dense values + masks, so the DEVICE layout is always dense.
+
+HOST-side sparse ingestion is supported end-to-end (reference sparse-first
+pipeline: src/preprocessing.jl:178,579-594): scipy.sparse inputs stay sparse
+through filtering and the zero-preserving normalizations (presence/absence,
+TSS, CLR-over-nonzeros, nz-binning), which stream column/row chunks through
+the exact dense kernels into the final target-precision matrix -- a
+50k x 100k table never materializes as dense float64 (40 GB); it goes
+straight to the ~5-20 GB prec-16/32 result.  The zero-filling normalizations
+(`clr`, `clr_adapt`) inherently densify and fall back to dense with a
+warning.
 """
 
 from __future__ import annotations
@@ -367,15 +376,61 @@ def discretize_meta(meta_data: np.ndarray, norm: str, n_bins: int) -> np.ndarray
 
 
 # ---------------------------------------------------------------------------
+# sparse ingestion helpers
+# ---------------------------------------------------------------------------
+
+def issparse(x) -> bool:
+    from scipy import sparse as sp
+
+    return sp.issparse(x)
+
+
+def _col_chunks(n_rows: int, n_cols: int, budget_bytes: int = 1 << 28):
+    """Column-chunk slices bounding the dense working set to ~budget."""
+    per = max(1, budget_bytes // max(8 * n_rows, 1))
+    for s in range(0, n_cols, per):
+        yield slice(s, min(s + per, n_cols))
+
+
+def _sparse_col_variance_mask(X) -> np.ndarray:
+    """Columns with more than one distinct value (csc, zeros eliminated)."""
+    n = X.shape[0]
+    nnz = np.diff(X.indptr)
+    colmin = np.full(X.shape[1], np.inf)
+    colmax = np.full(X.shape[1], -np.inf)
+    nz_cols = nnz > 0
+    starts = X.indptr[:-1][nz_cols]
+    colmin[nz_cols] = np.minimum.reduceat(X.data, starts)
+    colmax[nz_cols] = np.maximum.reduceat(X.data, starts)
+    return nz_cols & ((nnz < n) | (colmax != colmin))
+
+
+def _sparse_row_lognz(X):
+    """Per-row (count, mean log) over the nonzero entries (csr)."""
+    X = X.tocsr()
+    n = X.shape[0]
+    cnt = np.diff(X.indptr).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        logs = np.log(X.data)
+    row_of = np.repeat(np.arange(n), np.diff(X.indptr))
+    logsum = np.bincount(row_of, weights=logs, minlength=n)
+    return cnt, logsum / np.maximum(cnt, 1.0)
+
+
+# ---------------------------------------------------------------------------
 # filtering & pipeline (reference: src/preprocessing.jl:367-594)
 # ---------------------------------------------------------------------------
 
 def filter_by_variance(data, meta_data, header, verbose,
                        filter_rows=True, filter_cols=True):
-    # reference: src/preprocessing.jl:367-409
+    # reference: src/preprocessing.jl:367-409; sparse-aware
+    sparse = issparse(data)
     unfilt = data.shape
     if filter_cols:
-        col_mask = np.var(data, axis=0) > 0.0
+        if sparse:
+            col_mask = _sparse_col_variance_mask(data)
+        else:
+            col_mask = np.var(data, axis=0) > 0.0
         data = data[:, col_mask]
         if header:
             header = [h for h, m in zip(header, col_mask) if m]
@@ -383,8 +438,12 @@ def filter_by_variance(data, meta_data, header, verbose,
         col_mask = np.ones(data.shape[1], dtype=bool)
 
     if filter_rows:
-        row_mask = data.sum(axis=1) > 0
-        data = data[row_mask, :]
+        if sparse:
+            row_mask = np.asarray(data.sum(axis=1)).ravel() > 0
+            data = data.tocsr()[row_mask, :]
+        else:
+            row_mask = data.sum(axis=1) > 0
+            data = data[row_mask, :]
         if meta_data is not None:
             meta_data = meta_data[row_mask, :]
     else:
@@ -403,6 +462,79 @@ def filter_by_variance(data, meta_data, header, verbose,
         else:
             print("\t-> no samples or variables discarded")
     return data, meta_data, header, row_mask, col_mask
+
+
+def _normalize_sparse(data, norm, n_bins, rank_method, prec):
+    """Zero-preserving normalizations streamed from scipy.sparse into the
+    final dense target-precision matrix.  Column chunks run the EXACT dense
+    kernels (same binning/level semantics as the dense path, reference:
+    src/preprocessing.jl:459-525), so only ~256 MB is dense-float64 at any
+    time.  Returns (dense ndarray, col_keep_mask or None)."""
+    n, p = data.shape
+    csc = data.tocsc()
+
+    if norm == "binary":
+        nnz = np.diff(csc.indptr)
+        keep = (nnz > 0) & (nnz < n)          # exactly 2 presence levels
+        csc = csc[:, keep]
+        out = np.empty((n, csc.shape[1]), dtype=_target_dtype(prec, False))
+        for sl in _col_chunks(n, csc.shape[1]):
+            out[:, sl] = np.sign(csc[:, sl].toarray())
+        return out, keep
+
+    if norm == "rows" or norm == "clr_nz":
+        if norm == "rows":
+            sums = np.asarray(csc.sum(axis=1)).ravel()
+        else:
+            _, gl = _sparse_row_lognz(csc)
+        out = np.empty((n, p), dtype=_target_dtype(prec, True))
+        for sl in _col_chunks(n, p):
+            ch = csc[:, sl].toarray().astype(np.float64)
+            if norm == "rows":
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out[:, sl] = ch / sums[:, None]
+            else:
+                nzm = ch != 0
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    v = np.log(np.where(nzm, ch, 1.0)) - gl[:, None]
+                out[:, sl] = np.where(nzm, v, 0.0)
+        return out, None
+
+    if norm.startswith("binned"):
+        nz_variant = norm.startswith("binned_nz")
+        if nz_variant and norm.endswith("rows"):
+            sums = np.asarray(csc.sum(axis=1)).ravel()
+        elif nz_variant:
+            _, gl = _sparse_row_lognz(csc)
+        dtype = _target_dtype(prec, False)
+        chunks, masks = [], []
+        for sl in _col_chunks(n, p):
+            ch = csc[:, sl].toarray().astype(np.float64)
+            if nz_variant:
+                nzm = ch != 0                 # pre-normalization zeros
+                if norm.endswith("rows"):
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        ch = ch / sums[:, None]
+                else:
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        ch = np.where(nzm, np.log(np.where(nzm, ch, 1.0))
+                                      - gl[:, None], 0.0)
+                binned = _discretize_median_nz(ch, n_bins, nzm, rank_method)
+            else:
+                binned = _discretize_median_all(ch, n_bins, rank_method)
+            # keep columns with exactly n_bins-1 distinct nonzero levels ==
+            # all nonzero bins present (bins are 1..n_bins-1)
+            present = np.stack(
+                [(binned == b).any(axis=0) for b in range(1, n_bins)]
+            )
+            keep = present.all(axis=0)
+            chunks.append(binned[:, keep].astype(dtype))
+            masks.append(keep)
+        out = (np.concatenate(chunks, axis=1) if chunks
+               else np.empty((n, 0), dtype=dtype))
+        return out, np.concatenate(masks) if masks else np.zeros(0, bool)
+
+    raise ValueError(f"{norm} is not a valid normalization method")
 
 
 DEFAULT_NORM_DICT = {
@@ -451,9 +583,16 @@ def preprocess_data(
     header: Optional[Sequence[str]] = None,
     make_onehot: bool = True,
 ) -> NormalizedData:
-    """Full preprocessing pipeline (reference: src/preprocessing.jl:412-563)."""
-    del make_sparse  # dense-only on TPU (zeros become masks, not storage)
+    """Full preprocessing pipeline (reference: src/preprocessing.jl:412-563).
 
+    ``data`` may be a dense ndarray or any scipy.sparse matrix; sparse inputs
+    stream through the zero-preserving normalizations without ever
+    materializing a dense float64 copy (``make_sparse`` is accepted for API
+    compatibility; the OUTPUT layout is always dense -- on TPU zeros are
+    semantic masks, not a storage format)."""
+    del make_sparse
+
+    sparse = issparse(data)
     if meta_mask is None:
         meta_mask = np.zeros(data.shape[1], dtype=bool)
     meta_mask = np.asarray(meta_mask, dtype=bool)
@@ -461,8 +600,12 @@ def preprocess_data(
     has_meta = bool(meta_mask.any())
 
     if has_meta:
-        meta_data = data[:, meta_mask]
-        data = data[:, ~meta_mask]
+        if sparse:
+            meta_data = np.asarray(data.tocsc()[:, meta_mask].todense())
+            data = data.tocsc()[:, ~meta_mask]
+        else:
+            meta_data = data[:, meta_mask]
+            data = data[:, ~meta_mask]
         if header:
             meta_header = [h for h, m in zip(header, meta_mask) if m]
             header = [h for h, m in zip(header, meta_mask) if not m]
@@ -476,7 +619,21 @@ def preprocess_data(
     else:
         meta_data = None
 
-    data = np.asarray(data, dtype=np.float64)
+    if sparse:
+        if norm in ("clr", "clr_adapt") or (
+            norm.startswith("binned") and disc_method != "median"
+        ):
+            warnings.warn(
+                f"'{norm}' with disc_method='{disc_method}' fills structural "
+                "zeros; densifying the sparse input"
+            )
+            data = np.asarray(data.todense(), dtype=np.float64)
+            sparse = False
+        else:
+            data = data.tocsc().astype(np.float64)
+            data.eliminate_zeros()
+    if not sparse:
+        data = np.asarray(data, dtype=np.float64)
 
     if verbose:
         print("Removing variables with 0 variance (or equivalently 1 level) and samples with 0 reads")
@@ -489,7 +646,20 @@ def preprocess_data(
 
     if verbose:
         print("\nNormalization")
-    if norm == "rows":
+    if sparse:
+        unreduced = data.shape[1]
+        data, keep = _normalize_sparse(data, norm, n_bins, rank_method, prec)
+        if keep is not None:
+            if header:
+                header = [h for h, m in zip(header, keep) if m]
+            if verbose:
+                n_rm = unreduced - data.shape[1]
+                if norm == "binary":
+                    if n_rm > 0:
+                        print(f"\t-> removed {n_rm} variables with not exactly 2 levels")
+                else:
+                    print(f"\t-> removed {n_rm} variables with not exactly {n_bins} non-zero levels")
+    elif norm == "rows":
         data = rownorm(data)
     elif norm.startswith("clr"):
         data, clr_row_mask = clrnorm(data, norm, clr_pseudo_count)

@@ -191,3 +191,18 @@ def test_numeric_ids(tiny_expected):
     )
     np.testing.assert_array_equal(np.asarray(d, dtype=np.float64), data)
     assert h == [x[2:] for x in header]
+
+
+@requires_reference_data
+@pytest.mark.parametrize("data_suff", ["_json.biom", "_hdf5.biom"])
+def test_biom_sparse_loading(tiny_expected, data_suff):
+    """make_sparse keeps .biom tables as scipy.sparse with identical values
+    (the reference is sparse-first for biom, src/io.jl:208-225)."""
+    from scipy import sparse as sp
+
+    data, header, _, _ = tiny_expected
+    path = reference_data_path("HMP_SRA_gut", "HMP_SRA_gut_tiny" + data_suff)
+    d, h, _, _ = fio.load_data(path, make_sparse=True)
+    assert sp.issparse(d)
+    np.testing.assert_array_equal(np.asarray(d.todense()), data)
+    assert h == header

@@ -109,3 +109,52 @@ def test_block_wrappers_match_xla(synth):
         np.nan_to_num(np.asarray(r_x, np.float32), nan=-9),
         atol=2e-4,
     )
+
+
+@pytest.mark.parametrize("nz", [True, False])
+def test_planes_kernel_matches_fused(synth, nz):
+    """The packed indicator-plane kernel (pure-MXU variant) must agree with
+    the fused kernel on every X-tile: exact counts/df/suff, f32-tolerance
+    stats."""
+    L = 3
+    n, p = synth.shape
+    levels = np.array(
+        [len(np.unique(synth[:, j])) for j in range(p)], np.int32
+    )
+    maxv = synth.max(axis=0).astype(np.int32)
+    dj8 = jnp.asarray(synth).astype(jnp.int8)
+    tx, ty, tn = 128, 128, 256
+    xpl = pk.x_indicator_planes(dj8.T, L, tx, tn)
+    ypl = pk.y_indicator_planes(dj8, L, ty, tn)
+    p_padX = xpl.shape[0] * tx
+    p_padY = ypl.shape[1] // ((L - 1) * ty) * ty
+
+    def padc(a, w, fill):
+        out = np.full((a.shape[0], w), fill, a.dtype)
+        out[:, : a.shape[1]] = a
+        return out
+
+    marg = np.asarray(pk.level_marginals(dj8, L))
+    margX = jnp.asarray(padc(marg, p_padX, 0))
+    margY = jnp.asarray(padc(marg, p_padY, 0))
+    lX = jnp.asarray(padc(levels[None], p_padX, 1))
+    lY = jnp.asarray(padc(levels[None], p_padY, 1))
+    mX = jnp.asarray(padc(maxv[None], p_padX, 0))
+    mY = jnp.asarray(padc(maxv[None], p_padY, 0))
+    dT_pad = jnp.asarray(padc(synth.T.astype(np.int8).T, p_padY, -1).T)
+    d_pad = jnp.asarray(padc(synth.astype(np.int8), p_padY, -1))
+    for bi in range(p_padX // tx):
+        st, df, no, sp = pk.mi_univar_stats_planes(
+            xpl, ypl, margX, margY, lX, lY, mX, mY, bi, L, 0, p_padY,
+            nz, 5.0, 20.0, n, tx=tx, ty=ty, tn=tn,
+        )
+        st2, df2, no2, sp2 = pk.mi_univar_stats_pallas(
+            dT_pad, d_pad, margY, lY[0], mY[0],
+            bi * tx, tx, L, 0, p_padY, nz, 5.0, 20.0, tx=128, ty=128, tn=256,
+        )
+        np.testing.assert_array_equal(np.asarray(no), np.asarray(no2))
+        np.testing.assert_array_equal(np.asarray(df), np.asarray(df2))
+        np.testing.assert_array_equal(np.asarray(sp), np.asarray(sp2))
+        np.testing.assert_allclose(
+            np.asarray(st), np.asarray(st2), atol=2e-6, rtol=2e-5
+        )

@@ -159,3 +159,26 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@needs_mesh
+def test_scaling_harness(synth):
+    """The scaling harness runs the sharded paths at every mesh size and
+    reports identical significant sets (the CPU mesh validates the SPMD
+    expression; wall-clock efficiency is only meaningful on real chips)."""
+    from flashweave_tpu.parallel.scaling import (
+        cond_scaling, report, univar_scaling,
+    )
+
+    res = univar_scaling(synth, "mi_nz", device_counts=(1, 2, 8), repeats=1)
+    assert set(res) == {1, 2, 8}
+    sigs = {r["n_significant"] for r in res.values()}
+    assert len(sigs) == 1, f"mesh sizes disagree on significant pairs: {sigs}"
+    assert all(r["tests_per_sec"] > 0 for r in res.values())
+    assert res[1]["efficiency"] == 1.0
+    out = report(res, "univar")
+    assert "8 device(s)" in out
+
+    res2 = cond_scaling(synth, "mi_nz", B=512, device_counts=(1, 8),
+                        repeats=1)
+    assert set(res2) == {1, 8}

@@ -172,3 +172,91 @@ def test_onehot_meta():
             else:
                 assert res.meta_mask.sum() == meta_mask.sum()
                 assert res.data.shape[1] == len(res.header)
+
+
+class TestSparseIngestion:
+    """scipy.sparse inputs stream through the zero-preserving normalizations
+    and match the dense path exactly (reference sparse-first pipeline:
+    src/preprocessing.jl:178,579-594)."""
+
+    def _table(self, n=120, p=40, seed=0):
+        rng = np.random.default_rng(seed)
+        X = rng.integers(0, 200, (n, p)).astype(np.float64)
+        X[rng.random((n, p)) < 0.6] = 0.0
+        X[:, 1] = X[:, 0]
+        return X
+
+    @pytest.mark.parametrize("test_name", ["mi", "mi_nz", "fz_nz"])
+    def test_sparse_matches_dense(self, test_name):
+        from scipy import sparse as sp
+
+        from flashweave_tpu.preprocessing import normalize_data
+
+        X = self._table()
+        dense = normalize_data(X, test_name=test_name, verbose=False, prec=64)
+        sparse = normalize_data(sp.csr_matrix(X), test_name=test_name,
+                                verbose=False, prec=64)
+        assert dense.data.dtype == sparse.data.dtype
+        np.testing.assert_allclose(sparse.data, dense.data, rtol=1e-12,
+                                   atol=1e-12)
+        np.testing.assert_array_equal(sparse.obs_filter_mask,
+                                      dense.obs_filter_mask)
+
+    @pytest.mark.parametrize("norm_mode", ["tss", "tss-nonzero-binned",
+                                           "pres-abs", "clr-nonzero",
+                                           "clr-nonzero-binned"])
+    def test_sparse_norm_modes(self, norm_mode):
+        from scipy import sparse as sp
+
+        from flashweave_tpu.preprocessing import normalize_data
+
+        X = self._table(seed=3)
+        dense = normalize_data(X, norm_mode=norm_mode, verbose=False, prec=64)
+        sparse = normalize_data(sp.csc_matrix(X), norm_mode=norm_mode,
+                                verbose=False, prec=64)
+        np.testing.assert_allclose(sparse.data, dense.data, rtol=1e-12,
+                                   atol=1e-12)
+
+    def test_sparse_adaptive_clr_densifies_with_warning(self):
+        from scipy import sparse as sp
+
+        from flashweave_tpu.preprocessing import normalize_data
+
+        X = self._table(seed=4)
+        with pytest.warns(UserWarning, match="densifying"):
+            sparse = normalize_data(sp.csr_matrix(X), test_name="fz",
+                                    verbose=False, prec=64)
+        dense = normalize_data(X, test_name="fz", verbose=False, prec=64)
+        np.testing.assert_allclose(sparse.data, dense.data, rtol=1e-12)
+
+    def test_learn_network_sparse_input(self):
+        from scipy import sparse as sp
+
+        from flashweave_tpu import learn_network
+        from flashweave_tpu.utils.testing import compare_graph_results
+
+        X = self._table(n=200, p=30, seed=5)
+        g1 = learn_network(X, sensitive=False, heterogeneous=True, max_k=1,
+                           verbose=False, parallel_mode="single",
+                           prec=64).graph
+        g2 = learn_network(sp.csr_matrix(X), sensitive=False,
+                           heterogeneous=True, max_k=1, verbose=False,
+                           parallel_mode="single", prec=64).graph
+        assert compare_graph_results(g1, g2, approx=False, verbose=True)
+
+    def test_sparse_with_meta(self):
+        from scipy import sparse as sp
+
+        from flashweave_tpu.preprocessing import normalize_data
+
+        X = self._table(seed=6)
+        meta_mask = np.zeros(X.shape[1], dtype=bool)
+        meta_mask[-2:] = True
+        X[:, -2] = (X[:, -2] > 50)
+        X[:, -1] = (X[:, -1] > 20)
+        dense = normalize_data(X, test_name="mi_nz", meta_mask=meta_mask,
+                               verbose=False, prec=64)
+        sparse = normalize_data(sp.csr_matrix(X), test_name="mi_nz",
+                                meta_mask=meta_mask, verbose=False, prec=64)
+        np.testing.assert_allclose(sparse.data, dense.data, rtol=1e-12)
+        np.testing.assert_array_equal(sparse.meta_mask, dense.meta_mask)
