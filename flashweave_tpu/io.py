@@ -51,10 +51,70 @@ def _is_number(x) -> bool:
     return isinstance(x, (int, float, np.integer, np.floating))
 
 
+def _load_dlm_fast(data_path: str, sep: str):
+    """Native fast path for untransposed numeric tables: mmap + threaded
+    C++ cell parsing (native/fast_dlm.cpp).  Mirrors the slow path's header
+    and row-id sniffing exactly; returns None on ANY surprise (ragged rows,
+    non-numeric cell, missing compiler) so the caller falls back and results
+    never diverge."""
+    try:
+        from . import native
+    except Exception:
+        return None
+    dims = native.scan_table(data_path, sep)
+    if dims is None:
+        return None
+    n_lines, c1, c2 = dims
+    if n_lines < 2 or c1 != c2 or c1 < 2:
+        return None
+    n_rows = n_lines - 1
+
+    with open(data_path) as f:
+        for line in f:
+            if line.strip():
+                header_raw = line.rstrip("\n").rstrip("\r").split(sep)
+                break
+    header_cells = [_parse_cell(c) for c in header_raw]
+
+    # row-id detection, mirroring the slow path (reference: src/io.jl:151-152)
+    has_ids = header_cells[0] == ""
+    if not has_ids:
+        ids = native.first_fields(data_path, sep, n_rows)
+        if ids is None:
+            return None
+        # short-circuit: a numeric first data cell can never be a row id
+        # (isinstance(first_col[0], str) in the slow path)
+        if isinstance(_parse_cell(ids[0].decode(errors="replace")), str):
+            first_col = [_parse_cell(b.decode(errors="replace")) for b in ids]
+            has_ids = len(set(map(str, first_col))) == len(first_col)
+
+    skip_cols = 1 if has_ids else 0
+    n_cols = c1 - skip_cols
+    data = native.parse_numeric(data_path, sep, 1, skip_cols, n_rows, n_cols)
+    if data is None:
+        return None
+    header = [str(h) for h in header_cells[skip_cols:]]
+    if header and all(h.endswith(".0") for h in header):
+        header = [h[:-2] for h in header]
+    return data, header
+
+
 def load_dlm(data_path: str, meta_path: Optional[str] = None,
              transposed: bool = False, type_data: bool = True):
-    """Delimited loader with row-id sniffing (reference: src/io.jl:155-191)."""
+    """Delimited loader with row-id sniffing (reference: src/io.jl:155-191).
+    Numeric untransposed tables go through the native C++ parser
+    (native/fast_dlm.cpp); everything else uses the pure-Python path."""
     sep = "\t" if _ext(data_path) == ".tsv" else ","
+    if type_data and not transposed:
+        fast = _load_dlm_fast(data_path, sep)
+        if fast is not None:
+            data, header = fast
+            if meta_path is not None:
+                meta_data, meta_header, _, _ = load_dlm(
+                    meta_path, transposed=transposed, type_data=False)
+            else:
+                meta_data = meta_header = None
+            return data, header, meta_data, meta_header
     with open(data_path) as f:
         rows = [line.rstrip("\n").rstrip("\r").split(sep) for line in f if line.strip()]
     cells = [[_parse_cell(c) for c in r] for r in rows]

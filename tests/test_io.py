@@ -206,3 +206,77 @@ def test_biom_sparse_loading(tiny_expected, data_suff):
     assert sp.issparse(d)
     np.testing.assert_array_equal(np.asarray(d.todense()), data)
     assert h == header
+
+
+# ---------------------------------------------------------------------------
+# native fast delimited parser (flashweave_tpu/native/fast_dlm.cpp)
+# ---------------------------------------------------------------------------
+
+def _slow_load_dlm(path, **kw):
+    """Force the pure-Python reference path for parity comparison."""
+    import unittest.mock as mock
+
+    with mock.patch.object(fio, "_load_dlm_fast", lambda *a, **k: None):
+        return fio.load_dlm(path, **kw)
+
+
+def _write(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+@pytest.mark.parametrize("name,text", [
+    ("plain.tsv", "a\tb\tc\n1\t2\t3\n4.5\t-6\t7e-2\n0\t0\t12\n"),
+    ("ids.tsv", "\tv1\tv2\nS1\t1\t2\nS2\t3\t4\n"),
+    ("string_ids.tsv", "id\tv1\tv2\nsampA\t1\t2\nsampB\t3\t4\n"),
+    ("num_header.tsv", "1\t2\t3\n5\t6\t7\n8\t9\t10\n"),
+    ("blank_lines.tsv", "a\tb\n1\t2\n\n3\t4\n   \n5\t6\n"),
+    ("csv.csv", "x,y,z\n1,2,3\n4,5,6\n"),
+    ("sci.tsv", "a\tb\n1e10\t-2.5E-3\ninf\t+4\n"),
+])
+def test_fast_dlm_matches_python_path(tmp_path, name, text):
+    """The native parser must agree exactly with the pure-Python path on
+    header, row-id sniffing, and values."""
+    path = _write(tmp_path, name, text)
+    fast = fio.load_dlm(path)
+    slow = _slow_load_dlm(path)
+    np.testing.assert_array_equal(fast[0], slow[0])
+    assert fast[1] == slow[1]
+
+
+def test_fast_dlm_used_for_numeric_tables(tmp_path):
+    """On a clean numeric table the fast path really is taken (guards
+    against silently always falling back)."""
+    from flashweave_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+    path = _write(tmp_path, "t.tsv", "a\tb\n1\t2\n3\t4\n")
+    out = fio._load_dlm_fast(path, "\t")
+    assert out is not None
+    np.testing.assert_array_equal(out[0], [[1.0, 2.0], [3.0, 4.0]])
+    assert out[1] == ["a", "b"]
+
+
+def test_fast_dlm_fallback_on_string_cell(tmp_path):
+    """Tables with non-numeric body cells fall back (and then raise like
+    the slow path does for type_data=True)."""
+    path = _write(tmp_path, "bad.tsv", "a\tb\n1\toops\n2\t3\n")
+    assert fio._load_dlm_fast(path, "\t") is None
+
+
+def test_fast_dlm_fallback_on_ragged_rows(tmp_path):
+    path = _write(tmp_path, "ragged.tsv", "a\tb\tc\n1\t2\t3\n4\t5\n")
+    assert fio._load_dlm_fast(path, "\t") is None
+
+
+def test_load_dlm_without_native_lib(tmp_path, monkeypatch):
+    """If the native library cannot be built, loading still works."""
+    from flashweave_tpu import native
+
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    path = _write(tmp_path, "t.tsv", "a\tb\n1\t2\n3\t4\n")
+    data, header, _, _ = fio.load_dlm(path)
+    np.testing.assert_array_equal(data, [[1.0, 2.0], [3.0, 4.0]])
+    assert header == ["a", "b"]
