@@ -84,8 +84,7 @@ def bnb_test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
         Zarr[0, :k] = Zs
         if cfg.discrete:
             stat, pval, df, suff = yield (
-                "mi", np.array([T], np.int32), np.array([cand], np.int32),
-                Zarr, np.array([k], np.int32))
+                "mi", T, cand, Zarr, np.array([k], np.int32))
             return TestResult(float(stat[0]), float(pval[0]), int(df[0]),
                               bool(suff[0]))
         if positions is None:

@@ -111,12 +111,69 @@ def _empty_state(phase="F") -> HitonState:
 # subset enumeration + early-exit scan (reference: src/tests.jl:281-346)
 # ---------------------------------------------------------------------------
 
+# cached position templates keyed by (len(Z_total), max_k): most candidates
+# have small accepted sets, so one cached fancy-index replaces per-candidate
+# itertools enumeration (the per-send numpy bookkeeping dominated large runs)
+_combo_cache: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _combo_template(a: int, max_k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """All subsets of range(a) in the reference's enumeration order -- sizes
+    max_k..1 descending, lexicographic within a size (src/tests.jl:311-316).
+    Returns (pos (B_total, max_k) int32 zero-padded, kvec (B_total,) int32)."""
+    tpl = _combo_cache.get((a, max_k))
+    if tpl is None:
+        pos_parts, k_parts = [], []
+        for k in range(min(max_k, a), 0, -1):
+            nc = math.comb(a, k)
+            block = np.zeros((nc, max_k), np.int32)
+            block[:, :k] = np.fromiter(
+                itertools.chain.from_iterable(
+                    itertools.combinations(range(a), k)),
+                np.int32, count=nc * k,
+            ).reshape(nc, k)
+            pos_parts.append(block)
+            k_parts.append(np.full(nc, k, np.int32))
+        tpl = (np.concatenate(pos_parts), np.concatenate(k_parts))
+        _combo_cache[(a, max_k)] = tpl
+    return tpl
+
+
+def _combo_chunks(a: int, max_k: int):
+    """Yield (pos, kvec) chunks covering all subsets in enumeration order.
+
+    Small candidate sets (the overwhelmingly common case) come from the
+    template cache as ONE chunk, so a candidate costs a single device round;
+    large sets are enumerated lazily in SUBSET_CHUNK slices so early-exit
+    still bounds the work and nothing huge is materialized."""
+    total = sum(math.comb(a, k) for k in range(1, min(max_k, a) + 1))
+    if total <= SUBSET_CHUNK:
+        yield _combo_template(a, max_k)
+        return
+    for k in range(min(max_k, a), 0, -1):
+        it = itertools.combinations(range(a), k)
+        while True:
+            block = list(itertools.islice(it, SUBSET_CHUNK))
+            if not block:
+                break
+            nc = len(block)
+            pos = np.zeros((nc, max_k), np.int32)
+            pos[:, :k] = np.fromiter(
+                itertools.chain.from_iterable(block), np.int32, count=nc * k,
+            ).reshape(nc, k)
+            yield pos, np.full(nc, k, np.int32)
+
+
 def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
                      cfg: HitonConfig, engine):
     """Generator evaluating conditioning subsets of Z_total, largest first,
     early-exiting on the first non-significant result.
 
-    Yields batched device requests; returns
+    Yields batched device requests ("mi", T, cand, Zarr, kvec) -- all subset
+    sizes of a small candidate set ship as ONE request (wasted post-exit
+    evaluations traded for one scheduler round per candidate); the host-side
+    scan in enumeration order keeps accept/reject decisions and reported
+    statistics identical to the reference's sequential loop.  Returns
     (test_result, lowest_sig_Zs, num_tests, frac_tests)."""
     if not Z_total:
         return TestResult(NAN, NAN, -1, True), (-1,), -1, NAN
@@ -124,11 +181,10 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
     lowest = TestResult(0.0, 0.0, 0, True)
     lowest_Zs: Tuple[int, ...] = ()
     num_tests = 0
-    num_tests_total = 0
 
     mcor = None
     mcor_nobs = None
-    positions = None
+    nz_positions = False
     if not cfg.discrete:
         if cfg.nz:
             # per-pair masked correlations over [X, Y, Z_total...]
@@ -136,7 +192,7 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
             if engine.recursive_pcor:
                 var_list = [T, cand] + list(Z_total)
                 mcor, mcor_nobs = yield ("mcor", (T, cand), var_list)
-                positions = {v: i for i, v in enumerate(var_list)}
+                nz_positions = True
             else:
                 mcor_nobs = engine.nz_pair_count(T, cand)
             if cfg.n_obs_min > mcor_nobs:
@@ -145,93 +201,78 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
             mcor = engine.cor_mat
             mcor_nobs = engine.n
 
+    a = len(Z_total)
     max_k = cfg.max_k
-    for subset_size in range(max_k, 0, -1):
-        n_combos = math.comb(len(Z_total), subset_size)
-        num_tests_total += n_combos
-        combo_iter = itertools.combinations(Z_total, subset_size)
-        while True:
-            chunk = list(itertools.islice(combo_iter, SUBSET_CHUNK))
-            if not chunk:
-                break
-            B = len(chunk)
-            kvec = np.full(B, subset_size, np.int32)
-            Zarr = np.zeros((B, max_k), np.int32)
-            # C-speed fill (the Python per-row loop dominated large rounds)
-            Zarr[:, :subset_size] = np.fromiter(
-                itertools.chain.from_iterable(chunk), np.int32,
-                count=B * subset_size,
-            ).reshape(B, subset_size)
-            if cfg.discrete:
-                stat_a, pval_a, df_a, suff_a = yield (
-                    "mi",
-                    np.full(B, T, np.int32),
-                    np.full(B, cand, np.int32),
-                    Zarr,
-                    kvec,
-                )
-            elif not engine.recursive_pcor:
-                results = engine.fz_tests_iterative(T, cand, chunk)
-                stat_a = np.array([r.stat for r in results])
-                pval_a = np.array([r.pval for r in results])
-                df_a = np.array([r.df for r in results], dtype=np.int64)
-                suff_a = np.array([r.suff_power for r in results])
+    Z_np = np.asarray(Z_total, dtype=np.int32)
+    num_tests_total = sum(math.comb(a, k) for k in range(1, min(max_k, a) + 1))
+
+    for pos, kvec in _combo_chunks(a, max_k):
+        B = len(kvec)
+        Zarr = Z_np[pos]  # padded pos 0 -> a real column; kvec masks it
+        if cfg.discrete:
+            stat_a, pval_a, df_a, suff_a = yield ("mi", T, cand, Zarr, kvec)
+        elif not engine.recursive_pcor:
+            subsets = [tuple(Zarr[i, :kvec[i]]) for i in range(B)]
+            results = engine.fz_tests_iterative(T, cand, subsets)
+            stat_a = np.array([r.stat for r in results])
+            pval_a = np.array([r.pval for r in results])
+            df_a = np.array([r.df for r in results], dtype=np.int64)
+            suff_a = np.array([r.suff_power for r in results])
+        else:
+            if nz_positions:
+                # mcor is over [T, cand, Z_total...]: position of Z_total[i]
+                # is i + 2, so the position template maps directly
+                pos_X = np.zeros(B, np.int64)
+                pos_Y = np.ones(B, np.int64)
+                pos_Z = (pos + 2).astype(np.int64)
             else:
-                if positions is None:
-                    pos_X = np.full(B, T)
-                    pos_Y = np.full(B, cand)
-                    pos_Z = Zarr
-                else:
-                    pos_X = np.full(B, positions[T])
-                    pos_Y = np.full(B, positions[cand])
-                    pos_Z = np.array(
-                        [[positions.get(int(v), 0) for v in row] for row in Zarr]
-                    )
-                stat_a, pval_a, df_a, suff_a = engine.fz_tests_from_cor_raw(
-                    mcor, pos_X, pos_Y, pos_Z, kvec, mcor_nobs
+                pos_X = np.full(B, T, np.int64)
+                pos_Y = np.full(B, cand, np.int64)
+                pos_Z = Zarr
+            stat_a, pval_a, df_a, suff_a = engine.fz_tests_from_cor_raw(
+                mcor, pos_X, pos_Y, pos_Z, kvec, mcor_nobs
+            )
+
+        # vectorized early-exit scan in enumeration order (semantics of
+        # the sequential loop, reference src/tests.jl:311-343); NaN pvals
+        # compare False like the reference's issig (src/tests.jl:1-3)
+        sig = (pval_a < cfg.alpha) & suff_a
+        exit_flags = ~sig
+        if cfg.max_tests > 0:
+            exit_flags |= (num_tests + 1 + np.arange(B)) >= cfg.max_tests
+
+        def upd_lowest(upto):
+            nonlocal lowest, lowest_Zs
+            if upto == 0:
+                return
+            m = pval_a[:upto].max()
+            if m >= lowest.pval or np.isnan(lowest.pval):
+                # >= tie-break keeps the LAST occurrence like the
+                # sequential update
+                i_last = upto - 1 - int(np.argmax(pval_a[:upto][::-1] == m))
+                lowest = TestResult(float(stat_a[i_last]),
+                                    float(pval_a[i_last]),
+                                    int(df_a[i_last]), bool(suff_a[i_last]))
+                lowest_Zs = tuple(
+                    int(v) for v in Zarr[i_last, : kvec[i_last]])
+
+        if exit_flags.any():
+            e = int(np.argmax(exit_flags))
+            upd_lowest(e)
+            num_tests += e + 1
+            res = TestResult(float(stat_a[e]), float(pval_a[e]),
+                             int(df_a[e]), bool(suff_a[e]))
+            frac = num_tests / num_tests_total
+            if 0 < cfg.max_tests <= num_tests:
+                warnings.warn(
+                    f"Maximum number of tests for variable pair {T} / "
+                    f"{cand} at {num_tests} out of {num_tests_total} "
+                    f"tests (fraction: {round(frac, 3)}, size of Z: "
+                    f"{len(Z_total)})."
                 )
-
-            # vectorized early-exit scan in enumeration order (semantics of
-            # the sequential loop, reference src/tests.jl:311-343)
-            with np.errstate(invalid="ignore"):
-                sig = (pval_a < cfg.alpha) & suff_a
-            exit_flags = ~sig
-            if cfg.max_tests > 0:
-                exit_flags |= (num_tests + 1 + np.arange(B)) >= cfg.max_tests
-
-            def upd_lowest(upto):
-                nonlocal lowest, lowest_Zs
-                if upto == 0:
-                    return
-                m = pval_a[:upto].max()
-                if m >= lowest.pval or np.isnan(lowest.pval):
-                    # >= tie-break keeps the LAST occurrence like the
-                    # sequential update
-                    i_last = upto - 1 - int(np.argmax(pval_a[:upto][::-1] == m))
-                    lowest = TestResult(float(stat_a[i_last]),
-                                        float(pval_a[i_last]),
-                                        int(df_a[i_last]), bool(suff_a[i_last]))
-                    lowest_Zs = tuple(chunk[i_last])
-
-            if exit_flags.any():
-                e = int(np.argmax(exit_flags))
-                upd_lowest(e)
-                num_tests += e + 1
-                res = TestResult(float(stat_a[e]), float(pval_a[e]),
-                                 int(df_a[e]), bool(suff_a[e]))
-                for rem in range(subset_size - 1, 0, -1):
-                    num_tests_total += math.comb(len(Z_total), rem)
-                frac = num_tests / num_tests_total
-                if 0 < cfg.max_tests <= num_tests:
-                    warnings.warn(
-                        f"Maximum number of tests for variable pair {T} / "
-                        f"{cand} at {num_tests} out of {num_tests_total} "
-                        f"tests (fraction: {round(frac, 3)}, size of Z: "
-                        f"{len(Z_total)})."
-                    )
-                return res, tuple(chunk[e]), num_tests, frac
-            upd_lowest(B)
-            num_tests += B
+            return res, tuple(int(v) for v in Zarr[e, : kvec[e]]), num_tests, frac
+        upd_lowest(B)
+        num_tests += B
 
     return lowest, lowest_Zs, num_tests, num_tests / num_tests_total
 
@@ -453,7 +494,10 @@ def si_hiton_pc(T: int, data, test_name: str = "mi", **kwargs) -> HitonState:
         except StopIteration as stop:
             return stop.value
         if req[0] == "mi":
-            resp = engine.mi_tests_raw(req[1], req[2], req[3], req[4])
+            B = len(req[4])
+            resp = engine.mi_tests_raw(np.full(B, req[1], np.int32),
+                                       np.full(B, req[2], np.int32),
+                                       req[3], req[4])
         else:
             resp = engine.masked_cor([req[1]], [req[2]])[0]
 

@@ -250,8 +250,10 @@ class RoundScheduler:
     def _dispatch_one(self, req):
         kind = req[0]
         if kind == "mi":
-            _, X, Y, Zs, kvec = req
-            return self.engine.mi_tests_raw(X, Y, Zs, kvec)
+            _, T, cand, Zs, kvec = req
+            B = len(kvec)
+            return self.engine.mi_tests_raw(
+                np.full(B, T, np.int32), np.full(B, cand, np.int32), Zs, kvec)
         if kind == "mcor":
             _, pair, var_list = req
             return self.engine.masked_cor([pair], [var_list])[0]
@@ -263,14 +265,19 @@ class RoundScheduler:
         mcor_items = [(T, r) for T, r in pending.items() if r[0] == "mcor"]
 
         if mi_items:
-            Xs = np.concatenate([r[1] for _, r in mi_items])
-            Ys = np.concatenate([r[2] for _, r in mi_items])
+            n_items = len(mi_items)
+            counts = np.fromiter((len(r[4]) for _, r in mi_items), np.int64,
+                                 count=n_items)
+            Xs = np.repeat(np.fromiter((r[1] for _, r in mi_items), np.int32,
+                                       count=n_items), counts)
+            Ys = np.repeat(np.fromiter((r[2] for _, r in mi_items), np.int32,
+                                       count=n_items), counts)
             Zs = np.concatenate([r[3] for _, r in mi_items])
             ks = np.concatenate([r[4] for _, r in mi_items])
             arrays = self.engine.mi_tests_raw(Xs, Ys, Zs, ks)
             off = 0
-            for T, r in mi_items:
-                b = len(r[1])
+            for (T, _), b in zip(mi_items, counts):
+                b = int(b)
                 responses[T] = tuple(a[off : off + b] for a in arrays)
                 off += b
         if mcor_items:

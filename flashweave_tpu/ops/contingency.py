@@ -69,7 +69,16 @@ def cond_ctab_batch(data, X, Y, Zs, kvec, row_mask, B_pad, max_k, L, S):
     """Stratified contingency tables for a batch of (X, Y, Zs) descriptors.
 
     Replaces the reference's generated sparse N-column merge-join backend
-    (reference: src/contingency.jl:300-480) with a batched one-hot matmul.
+    (reference: src/contingency.jl:300-480).  On TPU the table is a fused
+    CELL-CODE HISTOGRAM: each row of each test folds (x, y, zcode) into one
+    radix cell index, and the (B, L*L*S) count matrix is a broadcast
+    compare-reduce against an iota of cells -- a single VPU loop fusion with
+    no materialized one-hot intermediates.  (The earlier batched one-hot
+    einsum formulation ran at M=L on the MXU -- ~2% utilization -- and
+    materialized an (n, B, L*S) operand; the histogram is ~3x faster at the
+    production shape, see PERF.md.)  Off-TPU the batched one-hot matmul is
+    kept: XLA-CPU executes it as optimized GEMMs, while an n*B*L*L*S
+    compare-reduce lowers to slow scalar loops.
 
     Args:
       data: (n, p) discrete values in 0..L-1 (float dtype).
@@ -89,6 +98,16 @@ def cond_ctab_batch(data, X, Y, Zs, kvec, row_mask, B_pad, max_k, L, S):
     for j in range(max_k):
         zj = jnp.take(data, Zs[:, j], axis=1).astype(jnp.int32)
         zcode = zcode + jnp.where(j < kvec[None, :], zj * (L ** j), 0)
+
+    if jax.default_backend() == "tpu":
+        C = L * L * S
+        cell = x.astype(jnp.int32) + L * y.astype(jnp.int32) + (L * L) * zcode
+        cell = jnp.where(row_mask > 0, cell, C)            # masked rows -> OOB
+        cnt = (cell[:, :, None] == jnp.arange(C, dtype=jnp.int32)).astype(
+            data.dtype).sum(axis=0)                        # (B, C)
+        # cell = x + L*y + L^2*z  ->  (B, S, y_level, x_level) -> (B, L, L, S)
+        return cnt.reshape(B_pad, S, L, L).transpose(0, 3, 2, 1)
+
     ex = onehot_encode(x, L) * row_mask[..., None]         # (n, B, L)
     ey = onehot_encode(y, L)                               # (n, B, L)
     ez = (zcode[..., None] == jnp.arange(S, dtype=jnp.int32)).astype(data.dtype)

@@ -63,11 +63,21 @@ def iscontinuous(test_name: str) -> bool:
 def get_levels(data: np.ndarray) -> np.ndarray:
     """Distinct-value count per column (reference: src/misc.jl:75-81).
 
-    Vectorized: column-sort + run-length count, O(n p log n) without a
-    Python loop over variables."""
+    Fast path for the usual case (small non-negative integer levels, e.g.
+    binned OTU tables): one presence pass per level value.  General data
+    falls back to a vectorized column-sort + run-length count."""
     if data.shape[0] <= 1:
         return np.full(data.shape[1], data.shape[0], dtype=np.int32)
-    s = np.sort(np.asarray(data), axis=0)
+    data = np.asarray(data)
+    mx = data.max() if data.size else 0
+    intlike = np.issubdtype(data.dtype, np.integer) or (
+        np.issubdtype(data.dtype, np.floating) and not np.mod(data, 1).any())
+    if intlike and data.size and data.min() >= 0 and mx <= 64:
+        levels = np.zeros(data.shape[1], dtype=np.int32)
+        for v in range(int(mx) + 1):
+            levels += (data == v).any(axis=0)
+        return levels
+    s = np.sort(data, axis=0)
     return (1 + (np.diff(s, axis=0) != 0).sum(axis=0)).astype(np.int32)
 
 
