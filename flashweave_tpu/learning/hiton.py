@@ -139,6 +139,29 @@ def _combo_template(a: int, max_k: int) -> Tuple[np.ndarray, np.ndarray]:
     return tpl
 
 
+_subset_total_cache: Dict[Tuple[int, int], int] = {}
+
+
+def _subset_total(a: int, max_k: int) -> int:
+    t = _subset_total_cache.get((a, max_k))
+    if t is None:
+        t = sum(math.comb(a, k) for k in range(1, min(max_k, a) + 1))
+        _subset_total_cache[(a, max_k)] = t
+    return t
+
+
+def _materialize_lowest(low_m, low_ref):
+    """Resolve the deferred weakest-significant reference into a TestResult."""
+    if low_ref is None:
+        return TestResult(0.0, 0.0, 0, True), ()
+    stat_a, pval_a, df_a, suff_a, Zarr, kvec, i = low_ref
+    return (
+        TestResult(float(stat_a[i]), float(pval_a[i]), int(df_a[i]),
+                   bool(suff_a[i])),
+        tuple(int(v) for v in Zarr[i, : kvec[i]]),
+    )
+
+
 def _combo_chunks(a: int, max_k: int):
     """Yield (pos, kvec) chunks covering all subsets in enumeration order.
 
@@ -146,7 +169,7 @@ def _combo_chunks(a: int, max_k: int):
     template cache as ONE chunk, so a candidate costs a single device round;
     large sets are enumerated lazily in SUBSET_CHUNK slices so early-exit
     still bounds the work and nothing huge is materialized."""
-    total = sum(math.comb(a, k) for k in range(1, min(max_k, a) + 1))
+    total = _subset_total(a, max_k)
     if total <= SUBSET_CHUNK:
         yield _combo_template(a, max_k)
         return
@@ -178,8 +201,11 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
     if not Z_total:
         return TestResult(NAN, NAN, -1, True), (-1,), -1, NAN
 
-    lowest = TestResult(0.0, 0.0, 0, True)
-    lowest_Zs: Tuple[int, ...] = ()
+    # weakest-significant ("lowest") tracking is kept as a REFERENCE into the
+    # already-fetched result arrays and materialized once on return -- per-
+    # chunk TestResult/tuple construction dominated large runs
+    low_m = 0.0
+    low_ref = None
     num_tests = 0
 
     mcor = None
@@ -204,7 +230,7 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
     a = len(Z_total)
     max_k = cfg.max_k
     Z_np = np.asarray(Z_total, dtype=np.int32)
-    num_tests_total = sum(math.comb(a, k) for k in range(1, min(max_k, a) + 1))
+    num_tests_total = _subset_total(a, max_k)
 
     for pos, kvec in _combo_chunks(a, max_k):
         B = len(kvec)
@@ -242,19 +268,18 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
             exit_flags |= (num_tests + 1 + np.arange(B)) >= cfg.max_tests
 
         def upd_lowest(upto):
-            nonlocal lowest, lowest_Zs
+            nonlocal low_m, low_ref
             if upto == 0:
                 return
-            m = pval_a[:upto].max()
-            if m >= lowest.pval or np.isnan(lowest.pval):
-                # >= tie-break keeps the LAST occurrence like the
-                # sequential update
-                i_last = upto - 1 - int(np.argmax(pval_a[:upto][::-1] == m))
-                lowest = TestResult(float(stat_a[i_last]),
-                                    float(pval_a[i_last]),
-                                    int(df_a[i_last]), bool(suff_a[i_last]))
-                lowest_Zs = tuple(
-                    int(v) for v in Zarr[i_last, : kvec[i_last]])
+            # argmax over the reversed view finds the LAST max occurrence --
+            # one numpy call resolves both the max and the reference's
+            # sequential >= tie-break (NaNs propagate to m and compare False,
+            # exactly like the running max)
+            i = upto - 1 - int(np.argmax(pval_a[upto - 1 :: -1]))
+            m = float(pval_a[i])
+            if m >= low_m or math.isnan(low_m):
+                low_m = m
+                low_ref = (stat_a, pval_a, df_a, suff_a, Zarr, kvec, i)
 
         if exit_flags.any():
             e = int(np.argmax(exit_flags))
@@ -274,6 +299,7 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
         upd_lowest(B)
         num_tests += B
 
+    lowest, lowest_Zs = _materialize_lowest(low_m, low_ref)
     return lowest, lowest_Zs, num_tests, num_tests / num_tests_total
 
 

@@ -101,6 +101,22 @@ def _mi_cond_kernel(data, levels, maxv, X, Y, Zs, kvec, hps, B, max_k, L, S, nz)
     return stat, df, n_obs, suff
 
 
+@partial(jax.jit, static_argnames=("B", "max_k", "L", "S", "nz"))
+def _mi_cond_kernel_packed(data, levels, maxv, X, Y, Zs, kvec, hps, B, max_k,
+                           L, S, nz):
+    return _pack4(*_mi_cond_kernel(data, levels, maxv, X, Y, Zs, kvec, hps,
+                                   B, max_k, L, S, nz))
+
+
+def _pack4(stat, df, n_obs, suff):
+    """Pack the four result vectors into ONE (4, B) float array: over the
+    tunneled chip every host fetch costs ~100 ms of round-trip latency, so
+    results ship as a single transfer (df and n_obs are exact in f32 below
+    2^24)."""
+    f = stat.dtype
+    return jnp.stack([stat, df.astype(f), n_obs.astype(f), suff.astype(f)])
+
+
 # ---------------------------------------------------------------------------
 # explicit batch sharding over the mesh (shard_map)
 #
@@ -114,13 +130,13 @@ def _mi_cond_kernel(data, levels, maxv, X, Y, Zs, kvec, hps, B, max_k, L, S, nz)
 @lru_cache(maxsize=None)
 def _sharded_mi_cond_fn(mesh, Bloc, max_k, L, S, nz):
     def body(data, levels, maxv, X, Y, Zs, kvec, hps):
-        return _mi_cond_kernel(data, levels, maxv, X, Y, Zs, kvec, hps,
-                               Bloc, max_k, L, S, nz)
+        return _pack4(*_mi_cond_kernel(data, levels, maxv, X, Y, Zs, kvec,
+                                       hps, Bloc, max_k, L, S, nz))
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(), P("d"), P("d"), P("d"), P("d"), P()),
-        out_specs=(P("d"),) * 4, check_vma=False,
+        out_specs=P(None, "d"), check_vma=False,
     ))
 
 
@@ -134,12 +150,12 @@ def _mi_cond_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz):
     def scan_body(data, levels, maxv, X, Y, Zs, kvec, hps):
         def body(carry, seg):
             Xs, Ys, Zss, ks = seg
-            out = _mi_cond_kernel(data, levels, maxv, Xs, Ys, Zss, ks, hps,
-                                  Bloc, max_k, L, S, nz)
+            out = _pack4(*_mi_cond_kernel(data, levels, maxv, Xs, Ys, Zss,
+                                          ks, hps, Bloc, max_k, L, S, nz))
             return carry, out
 
         _, outs = jax.lax.scan(body, 0, (X, Y, Zs, kvec))
-        return outs
+        return outs                                    # (nseg, 4, Bloc)
 
     if mesh is None:
         return jax.jit(scan_body)
@@ -147,7 +163,7 @@ def _mi_cond_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz):
         scan_body, mesh=mesh,
         in_specs=(P(), P(), P(), P(None, "d"), P(None, "d"), P(None, "d"),
                   P(None, "d"), P()),
-        out_specs=(P(None, "d"),) * 4, check_vma=False,
+        out_specs=P(None, None, "d"), check_vma=False,
     ))
 
 
@@ -158,7 +174,7 @@ def _sharded_masked_cor_fn(mesh, Bloc, m):
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh, in_specs=(P(), P("d"), P("d"), P("d")),
-        out_specs=(P("d"), P("d")), check_vma=False,
+        out_specs=P("d"), check_vma=False,
     ))
 
 
@@ -219,7 +235,8 @@ def _masked_cor_kernel(data, X, Y, var_idx, B, m):
     d = jnp.sqrt(jnp.maximum(jnp.einsum("bii->bi", cov), 0.0))
     denom = d[:, :, None] * d[:, None, :]
     C = jnp.where(denom > 0, cov / jnp.where(denom > 0, denom, 1.0), 0.0)
-    return C, n_obs
+    # pack (C, n_obs) into ONE (B, m*m + 1) array: a single host fetch
+    return jnp.concatenate([C.reshape(B, m * m), n_obs[:, None]], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -294,18 +311,14 @@ class CondTestEngine:
         kp = np.zeros(Bp, np.int32); kp[:B] = kvec
         fn = _mi_cond_scan_fn(self.mesh, nseg, seg // ndev, self.max_k,
                               self.L, self.S, self.nz)
-        stat, df, n_obs, suff = fn(
+        out = np.asarray(fn(                           # ONE (nseg, 4, seg) fetch
             self.data_j, self.levels_j, self.maxv_j,
             Xp.reshape(nseg, seg), Yp.reshape(nseg, seg),
             Zp.reshape(nseg, seg, self.max_k), kp.reshape(nseg, seg),
             float(self.hps),
-        )
-        stat = np.asarray(stat, np.float64).reshape(Bp)[:B]
-        df = np.asarray(df, np.int64).reshape(Bp)[:B]
-        n_obs = np.asarray(n_obs, np.float64).reshape(Bp)[:B]
-        suff = np.asarray(suff).reshape(Bp)[:B]
-        pval = np.where(suff, sf.mi_pval(stat, df, n_obs), 1.0)
-        return stat, pval, df, suff
+        ))
+        out = np.moveaxis(out, 1, 0).reshape(4, Bp)
+        return self._finish_packed(out, B)
 
     def mi_tests(self, X, Y, Zs, kvec) -> List[TestResult]:
         stat, pval, df, suff = self.mi_tests_raw(X, Y, Zs, kvec)
@@ -326,20 +339,22 @@ class CondTestEngine:
                 self.mesh, Bp // self.mesh.devices.size, self.max_k, self.L,
                 self.S, self.nz,
             )
-            stat, df, n_obs, suff = fn(
-                self.data_j, self.levels_j, self.maxv_j, Xp, Yp, Zp, kp,
-                float(self.hps),
-            )
+            out = fn(self.data_j, self.levels_j, self.maxv_j, Xp, Yp, Zp, kp,
+                     float(self.hps))
         else:
-            stat, df, n_obs, suff = _mi_cond_kernel(
+            out = _mi_cond_kernel_packed(
                 self.data_j, self.levels_j, self.maxv_j,
                 Xp, Yp, Zp, kp,
                 float(self.hps), Bp, self.max_k, self.L, self.S, self.nz,
             )
-        stat = np.asarray(stat, np.float64)[:B]
-        df = np.asarray(df, np.int64)[:B]
-        n_obs = np.asarray(n_obs, np.float64)[:B]
-        suff = np.asarray(suff)[:B]
+        return self._finish_packed(np.asarray(out), B)
+
+    def _finish_packed(self, out: np.ndarray, B: int):
+        """(4, Bp) packed device results -> (stat, pval, df, suff) f64/[:B]."""
+        stat = out[0].astype(np.float64)[:B]
+        df = out[1].astype(np.int64)[:B]
+        n_obs = out[2].astype(np.float64)[:B]
+        suff = out[3][:B] != 0
         pval = np.where(suff, sf.mi_pval(stat, df, n_obs), 1.0)
         return stat, pval, df, suff
 
@@ -372,11 +387,12 @@ class CondTestEngine:
         if self.mesh is not None:
             fn = _sharded_masked_cor_fn(self.mesh,
                                         Bp // self.mesh.devices.size, m)
-            C, n_obs = fn(self.data_j, X, Y, VI)
+            out = fn(self.data_j, X, Y, VI)
         else:
-            C, n_obs = _masked_cor_kernel(self.data_j, X, Y, VI, Bp, m)
-        C = np.asarray(C, np.float64)
-        n_obs = np.asarray(n_obs, np.float64)
+            out = _masked_cor_kernel(self.data_j, X, Y, VI, Bp, m)
+        buf = np.asarray(out, np.float64)               # ONE fetch
+        C = buf[:, : m * m].reshape(Bp, m, m)
+        n_obs = buf[:, m * m]
         return [(C[i], float(n_obs[i])) for i in range(B)]
 
     def fz_tests_from_cor_raw(self, C: np.ndarray, pos_X: np.ndarray,
