@@ -156,9 +156,9 @@ def _materialize_lowest(low_m, low_ref):
         return TestResult(0.0, 0.0, 0, True), ()
     stat_a, pval_a, df_a, suff_a, Zarr, kvec, i = low_ref
     return (
-        TestResult(float(stat_a[i]), float(pval_a[i]), int(df_a[i]),
-                   bool(suff_a[i])),
-        tuple(int(v) for v in Zarr[i, : kvec[i]]),
+        TestResult(stat_a.item(i), pval_a.item(i), int(df_a.item(i)),
+                   bool(suff_a.item(i))),
+        tuple(Zarr[i, : kvec.item(i)].tolist()),
     )
 
 
@@ -285,8 +285,8 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
             e = int(np.argmax(exit_flags))
             upd_lowest(e)
             num_tests += e + 1
-            res = TestResult(float(stat_a[e]), float(pval_a[e]),
-                             int(df_a[e]), bool(suff_a[e]))
+            res = TestResult(stat_a.item(e), pval_a.item(e),
+                             int(df_a.item(e)), bool(suff_a.item(e)))
             frac = num_tests / num_tests_total
             if 0 < cfg.max_tests <= num_tests:
                 warnings.warn(
@@ -295,7 +295,7 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
                     f"tests (fraction: {round(frac, 3)}, size of Z: "
                     f"{len(Z_total)})."
                 )
-            return res, tuple(int(v) for v in Zarr[e, : kvec[e]]), num_tests, frac
+            return res, tuple(Zarr[e, : kvec.item(e)].tolist()), num_tests, frac
         upd_lowest(B)
         num_tests += B
 
@@ -434,11 +434,16 @@ def si_hiton_pc_gen(T: int, cfg: HitonConfig, engine,
             if cfg.track_rejections:
                 rej_dict = prev_state.state_rejections
         else:
-            pairs = sorted(
-                ((c, pv[1]) for c, pv in univar_nbrs.items() if pv[1] < cfg.alpha),
-                key=lambda x: x[1],
-            )
-            candidates = [c for c, _ in pairs]
+            # univar-p-sorted candidates; stable argsort keeps insertion
+            # order on ties like the previous sorted() (vectorized -- per-
+            # target Python sorts dominated large runs)
+            nn = len(univar_nbrs)
+            cs = np.fromiter((c for c in univar_nbrs), np.int64, count=nn)
+            pv = np.fromiter((v[1] for v in univar_nbrs.values()), np.float64,
+                             count=nn)
+            keep = pv < cfg.alpha
+            cs, pv = cs[keep], pv[keep]
+            candidates = cs[np.argsort(pv, kind="stable")].tolist()
             candidates_unchecked = []
             prev_TPC = {}
         if not candidates and not candidates_unchecked and not prev_TPC:

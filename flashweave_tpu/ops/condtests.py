@@ -73,6 +73,9 @@ def _mi_cond_kernel(data, levels, maxv, X, Y, Zs, kvec, hps, B, max_k, L, S, nz)
     src/tests.jl:184-229): view trimming -> contingency -> nz slicing ->
     power check n/(lx*ly*lz) > hps -> signed MI + adjusted df.
     """
+    # data may be device-resident int8 (4x less tunnel upload); statistics
+    # accumulate in the promoted float dtype
+    fdt = jnp.promote_types(data.dtype, jnp.float32)
     x = jnp.take(data, X, axis=1)                     # (n, B)
     y = jnp.take(data, Y, axis=1)
     if nz:
@@ -83,17 +86,17 @@ def _mi_cond_kernel(data, levels, maxv, X, Y, Zs, kvec, hps, B, max_k, L, S, nz)
         ox = jnp.zeros(B, jnp.int32)
         oy = jnp.zeros(B, jnp.int32)
         mask = jnp.ones(x.shape, bool)
-    ctab = cond_ctab_batch(data, X, Y, Zs, kvec, mask.astype(data.dtype),
+    ctab = cond_ctab_batch(data, X, Y, Zs, kvec, mask.astype(fdt),
                            B, max_k, L, S)
     stat, df, n_obs = sf.mi_stats(ctab, ox, oy, xp=jnp)
     levels_z = (ctab.sum(axis=(1, 2)) > 0).sum(axis=-1)   # occupied strata
     if nz:
-        lx_eff = (L - ox).astype(data.dtype)
-        ly_eff = (L - oy).astype(data.dtype)
+        lx_eff = (L - ox).astype(fdt)
+        ly_eff = (L - oy).astype(fdt)
     else:
-        lx_eff = jnp.take(levels, X).astype(data.dtype)
-        ly_eff = jnp.take(levels, Y).astype(data.dtype)
-    cells = lx_eff * ly_eff * levels_z.astype(data.dtype)
+        lx_eff = jnp.take(levels, X).astype(fdt)
+        ly_eff = jnp.take(levels, Y).astype(fdt)
+    cells = lx_eff * ly_eff * levels_z.astype(fdt)
     suff = jnp.where(cells > 0, n_obs / jnp.where(cells > 0, cells, 1.0) > hps,
                      True)
     stat = jnp.where(suff, stat, 0.0)
@@ -265,7 +268,13 @@ class CondTestEngine:
         self.data_np = np.asarray(data)
         self.levels = None
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        self.data_j = jnp.asarray(data, dtype=dtype)
+        if (self.discrete and jax.default_backend() == "tpu"
+                and max_vals is not None and int(np.max(max_vals)) < 128):
+            # discrete levels fit int8: 4x less tunnel upload; the conditional
+            # kernel promotes to f32 for statistics
+            self.data_j = jnp.asarray(np.asarray(data, dtype=np.int8))
+        else:
+            self.data_j = jnp.asarray(data, dtype=dtype)
         if mesh is not None:
             from ..parallel.mesh import replicated
 

@@ -100,11 +100,12 @@ def cond_ctab_batch(data, X, Y, Zs, kvec, row_mask, B_pad, max_k, L, S):
         zcode = zcode + jnp.where(j < kvec[None, :], zj * (L ** j), 0)
 
     if jax.default_backend() == "tpu":
+        fdt = jnp.promote_types(data.dtype, jnp.float32)   # data may be int8
         C = L * L * S
         cell = x.astype(jnp.int32) + L * y.astype(jnp.int32) + (L * L) * zcode
         cell = jnp.where(row_mask > 0, cell, C)            # masked rows -> OOB
         cnt = (cell[:, :, None] == jnp.arange(C, dtype=jnp.int32)).astype(
-            data.dtype).sum(axis=0)                        # (B, C)
+            fdt).sum(axis=0)                               # (B, C)
         # cell = x + L*y + L^2*z  ->  (B, S, y_level, x_level) -> (B, L, L, S)
         return cnt.reshape(B_pad, S, L, L).transpose(0, 3, 2, 1)
 

@@ -643,8 +643,8 @@ def pw_univar_neighbors(
                 [np.asarray(max_vals), np.zeros(p_int - p, np.int32)]
             )
 
-    def _put(arr):
-        x = jnp.asarray(arr, dtype=dtype)
+    def _put(arr, put_dtype=None):
+        x = jnp.asarray(arr, dtype=put_dtype or dtype)
         if mesh is not None:
             from ..parallel.mesh import replicated
 
@@ -656,7 +656,6 @@ def pw_univar_neighbors(
             levels = get_levels(data)
             max_vals = get_max_vals(data)
         L = int(np.max(max_vals)) + 1
-        data_j = _put(data)
         stats = np.empty(n_pairs)
         df_c = np.empty(n_pairs, dtype=np.int64)
         nobs_c = np.empty(n_pairs, dtype=np.int64)
@@ -672,9 +671,12 @@ def pw_univar_neighbors(
                 level_marginals, mi_univar_stats_pallas,
             )
 
-            data_j = data_j.astype(jnp.int8)  # 4x less kernel read traffic
+            # host-side int8 cast: 4x less tunnel upload + kernel read traffic
+            data_j = _put(np.asarray(data, dtype=np.int8), jnp.int8)
             data_jT = jnp.asarray(data_j.T)   # native-layout MXU X operand
             marg = level_marginals(data_j, L)
+        else:
+            data_j = _put(data)
         if mesh is not None:
             from ..parallel.mesh import replicated
 
