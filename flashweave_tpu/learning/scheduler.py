@@ -161,10 +161,20 @@ class RoundScheduler:
                             last_conv_edges = self.n_edges
             return results
 
-        # round-based concurrent execution
+        # Round-based concurrent execution, PIPELINED in two half-round
+        # batches.  Each round advances every active generator exactly once
+        # in the SAME fixed global order as a plain round loop, but the
+        # round's device work ships as two contiguous half-batches: while the
+        # host advances the first half's generators, the second half's batch
+        # from the previous round (already enqueued) executes on device, and
+        # vice versa -- host bookkeeping hides under device time.  Because
+        # each test's device result is independent of its batch, and the
+        # advance order is unchanged, results are BIT-IDENTICAL to the
+        # unpipelined round loop.
         active = {T: gens[T] for T in self.targets}
-        pending: Dict[int, tuple] = {}
-        responses: Dict[int, object] = {}
+        first_half = set(self.targets[: (len(self.targets) + 1) // 2])
+        resp: Dict[int, object] = {}
+        inflight: List[Optional[tuple]] = [None, None]
         jobs_total = len(self.targets)
         check_convergence = False
         converged = False
@@ -172,14 +182,12 @@ class RoundScheduler:
         last_conv_edges = 0
         last_update = start_time
 
-        while active:
-            # advance every active generator by one request
-            for T in list(active.keys()):
+        def advance(targets_now):
+            pending = {}
+            for T in targets_now:
                 gen = active[T]
                 try:
-                    if T in pending:
-                        continue  # waiting for a response dispatched below
-                    req = gen.send(responses.pop(T, None))
+                    req = gen.send(resp.pop(T, None))
                     pending[T] = req
                 except StopIteration as stop:
                     state = stop.value
@@ -191,10 +199,20 @@ class RoundScheduler:
                     results[T] = state
                     self._add_edges(T, state.state_results.keys())
                     del active[T]
+            return pending
 
-            if pending:
-                self._dispatch(pending, responses)
-                pending.clear()
+        while active or inflight[0] is not None or inflight[1] is not None:
+            for ci in (0, 1):
+                if inflight[ci] is not None:
+                    self._dispatch_finish(inflight[ci], resp)
+                    inflight[ci] = None
+                in_half = (ci == 0)
+                targets_now = [
+                    T for T in active if (T in first_half) == in_half
+                ]
+                pending = advance(targets_now)
+                if pending:
+                    inflight[ci] = self._dispatch_begin(pending)
 
             now = time.time()
             if self.verbose and now - last_update > self.update_interval:
@@ -259,11 +277,13 @@ class RoundScheduler:
             return self.engine.masked_cor([pair], [var_list])[0]
         raise ValueError(f"unknown request kind {kind}")
 
-    def _dispatch(self, pending: Dict[int, tuple], responses: Dict[int, object]):
-        """Batch same-kind requests from all targets into single device calls."""
+    def _dispatch_begin(self, pending: Dict[int, tuple]):
+        """Batch same-kind requests from all targets and LAUNCH them as
+        single async device calls; returns a bundle for _dispatch_finish."""
         mi_items = [(T, r) for T, r in pending.items() if r[0] == "mi"]
         mcor_items = [(T, r) for T, r in pending.items() if r[0] == "mcor"]
 
+        mi_h = None
         if mi_items:
             n_items = len(mi_items)
             counts = np.fromiter((len(r[4]) for _, r in mi_items), np.int64,
@@ -274,15 +294,29 @@ class RoundScheduler:
                                        count=n_items), counts)
             Zs = np.concatenate([r[3] for _, r in mi_items])
             ks = np.concatenate([r[4] for _, r in mi_items])
-            arrays = self.engine.mi_tests_raw(Xs, Ys, Zs, ks)
+            mi_h = (self.engine.mi_tests_begin(Xs, Ys, Zs, ks), mi_items,
+                    counts)
+        mcor_h = None
+        if mcor_items:
+            pairs = [r[1] for _, r in mcor_items]
+            var_lists = [r[2] for _, r in mcor_items]
+            mcor_h = (self.engine.masked_cor_begin(pairs, var_lists),
+                      mcor_items)
+        return mi_h, mcor_h
+
+    def _dispatch_finish(self, bundle, responses: Dict[int, object]):
+        """Block on a _dispatch_begin bundle and scatter per-target slices."""
+        mi_h, mcor_h = bundle
+        if mi_h is not None:
+            handle, mi_items, counts = mi_h
+            arrays = self.engine.mi_tests_finish(handle)
             off = 0
             for (T, _), b in zip(mi_items, counts):
                 b = int(b)
                 responses[T] = tuple(a[off : off + b] for a in arrays)
                 off += b
-        if mcor_items:
-            pairs = [r[1] for _, r in mcor_items]
-            var_lists = [r[2] for _, r in mcor_items]
-            outs = self.engine.masked_cor(pairs, var_lists)
+        if mcor_h is not None:
+            handles, mcor_items = mcor_h
+            outs = self.engine.masked_cor_finish(handles)
             for (T, _), out in zip(mcor_items, outs):
                 responses[T] = out

@@ -53,12 +53,13 @@ def _bucket(b: int) -> int:
 
 
 def _nseg_bucket(k: int) -> int:
-    """Segment-count bucket for the scanned mega-batch: <= 12.5% padding
-    with a bounded number of distinct compiled shapes (4 per octave)."""
+    """Segment-count bucket for the scanned mega-batch: powers of two above
+    8, so only ~log2(B_max/seg) scan shapes ever compile.  Padded segments
+    cost microseconds of device compute; a fresh XLA compile over the
+    tunneled chip costs tens of seconds."""
     if k <= 8:
         return k
-    step = 1 << max(k.bit_length() - 3, 0)
-    return -(-k // step) * step
+    return 1 << (k - 1).bit_length()
 
 
 # ---------------------------------------------------------------------------
@@ -292,6 +293,27 @@ class CondTestEngine:
 
     # -- discrete -----------------------------------------------------------
 
+    def mi_tests_begin(self, X: np.ndarray, Y: np.ndarray, Zs: np.ndarray,
+                       kvec: np.ndarray):
+        """Launch B conditional MI tests asynchronously (jax dispatch does
+        not block); returns an opaque handle for mi_tests_finish.  Lets the
+        scheduler overlap host-side bookkeeping with device execution."""
+        global N_TESTS_DISPATCHED
+        B = len(X)
+        N_TESTS_DISPATCHED += B
+        seg = BATCH_BUCKETS[-1]
+        if B <= seg:
+            return self._mi_tests_seg(X, Y, Zs, kvec)
+        return self._mi_tests_scan(X, Y, Zs, kvec, seg)
+
+    def mi_tests_finish(self, handle):
+        """Block on a mi_tests_begin handle; returns (stat, pval, df, suff)."""
+        out, B, Bp = handle
+        arr = np.asarray(out)                          # ONE fetch
+        if arr.ndim == 3:                              # scan: (nseg, 4, seg)
+            arr = np.moveaxis(arr, 1, 0).reshape(4, Bp)
+        return self._finish_packed(arr, B)
+
     def mi_tests_raw(self, X: np.ndarray, Y: np.ndarray, Zs: np.ndarray,
                      kvec: np.ndarray):
         """Evaluate B conditional MI tests; Zs shape (B, max_k), padded with 0.
@@ -301,13 +323,7 @@ class CondTestEngine:
         larger batches run as ONE device dispatch scanning fixed-size
         segments (lax.scan), so a big scheduler round never pays per-segment
         dispatch latency."""
-        global N_TESTS_DISPATCHED
-        B = len(X)
-        N_TESTS_DISPATCHED += B
-        seg = BATCH_BUCKETS[-1]
-        if B <= seg:
-            return self._mi_tests_seg(X, Y, Zs, kvec)
-        return self._mi_tests_scan(X, Y, Zs, kvec, seg)
+        return self.mi_tests_finish(self.mi_tests_begin(X, Y, Zs, kvec))
 
     def _mi_tests_scan(self, X, Y, Zs, kvec, seg):
         B = len(X)
@@ -320,14 +336,13 @@ class CondTestEngine:
         kp = np.zeros(Bp, np.int32); kp[:B] = kvec
         fn = _mi_cond_scan_fn(self.mesh, nseg, seg // ndev, self.max_k,
                               self.L, self.S, self.nz)
-        out = np.asarray(fn(                           # ONE (nseg, 4, seg) fetch
+        out = fn(                                      # async: (nseg, 4, seg)
             self.data_j, self.levels_j, self.maxv_j,
             Xp.reshape(nseg, seg), Yp.reshape(nseg, seg),
             Zp.reshape(nseg, seg, self.max_k), kp.reshape(nseg, seg),
             float(self.hps),
-        ))
-        out = np.moveaxis(out, 1, 0).reshape(4, Bp)
-        return self._finish_packed(out, B)
+        )
+        return out, B, Bp
 
     def mi_tests(self, X, Y, Zs, kvec) -> List[TestResult]:
         stat, pval, df, suff = self.mi_tests_raw(X, Y, Zs, kvec)
@@ -356,7 +371,7 @@ class CondTestEngine:
                 Xp, Yp, Zp, kp,
                 float(self.hps), Bp, self.max_k, self.L, self.S, self.nz,
             )
-        return self._finish_packed(np.asarray(out), B)
+        return out, B, Bp
 
     def _finish_packed(self, out: np.ndarray, B: int):
         """(4, Bp) packed device results -> (stat, pval, df, suff) f64/[:B]."""
@@ -369,18 +384,32 @@ class CondTestEngine:
 
     # -- continuous ---------------------------------------------------------
 
+    def masked_cor_begin(self, pairs: Sequence[Tuple[int, int]],
+                         var_lists: Sequence[Sequence[int]]):
+        """Launch masked-correlation segments asynchronously."""
+        handles = []
+        seg_max = BATCH_BUCKETS[1]  # keep B*n*m memory bounded
+        for s in range(0, len(pairs), seg_max):
+            handles.append(
+                self._masked_cor_seg(pairs[s : s + seg_max],
+                                     var_lists[s : s + seg_max])
+            )
+        return handles
+
+    def masked_cor_finish(self, handles):
+        out = []
+        for dev, B, Bp, m in handles:
+            buf = np.asarray(dev, np.float64)           # ONE fetch per segment
+            C = buf[:, : m * m].reshape(Bp, m, m)
+            n_obs = buf[:, m * m]
+            out.extend((C[i], float(n_obs[i])) for i in range(B))
+        return out
+
     def masked_cor(self, pairs: Sequence[Tuple[int, int]],
                    var_lists: Sequence[Sequence[int]]):
         """Masked correlation matrices for (T, C) pairs over their variable
         subsets [T, C, Z_total...].  Returns list of (C_sub f64, n_obs)."""
-        out = []
-        seg_max = BATCH_BUCKETS[1]  # keep B*n*m memory bounded
-        for s in range(0, len(pairs), seg_max):
-            out.extend(
-                self._masked_cor_seg(pairs[s : s + seg_max],
-                                     var_lists[s : s + seg_max])
-            )
-        return out
+        return self.masked_cor_finish(self.masked_cor_begin(pairs, var_lists))
 
     def _masked_cor_seg(self, pairs, var_lists):
         B = len(pairs)
@@ -399,10 +428,7 @@ class CondTestEngine:
             out = fn(self.data_j, X, Y, VI)
         else:
             out = _masked_cor_kernel(self.data_j, X, Y, VI, Bp, m)
-        buf = np.asarray(out, np.float64)               # ONE fetch
-        C = buf[:, : m * m].reshape(Bp, m, m)
-        n_obs = buf[:, m * m]
-        return [(C[i], float(n_obs[i])) for i in range(B)]
+        return out, B, Bp, m
 
     def fz_tests_from_cor_raw(self, C: np.ndarray, pos_X: np.ndarray,
                               pos_Y: np.ndarray, pos_Zs: np.ndarray,
