@@ -235,8 +235,13 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
     for pos, kvec in _combo_chunks(a, max_k):
         B = len(kvec)
         Zarr = Z_np[pos]  # padded pos 0 -> a real column; kvec masks it
+        digest = None
         if cfg.discrete:
-            stat_a, pval_a, df_a, suff_a = yield ("mi", T, cand, Zarr, kvec)
+            got = yield ("mi", T, cand, Zarr, kvec)
+            if len(got) == 5:
+                stat_a, pval_a, df_a, suff_a, digest = got
+            else:
+                stat_a, pval_a, df_a, suff_a = got
         elif not engine.recursive_pcor:
             subsets = [tuple(Zarr[i, :kvec[i]]) for i in range(B)]
             results = engine.fz_tests_iterative(T, cand, subsets)
@@ -258,6 +263,26 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
             stat_a, pval_a, df_a, suff_a = engine.fz_tests_from_cor_raw(
                 mcor, pos_X, pos_Y, pos_Z, kvec, mcor_nobs
             )
+
+        # fast path: the scheduler precomputed this request's early-exit /
+        # weakest digest (same float64 semantics, one vectorized pass over
+        # the whole mega-batch); only a possible max_tests cutoff inside
+        # this chunk forces the local scan
+        if digest is not None and not (0 < cfg.max_tests <= num_tests + B):
+            e, w = digest
+            if w >= 0:
+                m = float(pval_a[w])
+                if m >= low_m or math.isnan(low_m):
+                    low_m = m
+                    low_ref = (stat_a, pval_a, df_a, suff_a, Zarr, kvec, w)
+            if e >= 0:
+                num_tests += e + 1
+                res = TestResult(stat_a.item(e), pval_a.item(e),
+                                 int(df_a.item(e)), bool(suff_a.item(e)))
+                return (res, tuple(Zarr[e, : kvec.item(e)].tolist()),
+                        num_tests, num_tests / num_tests_total)
+            num_tests += B
+            continue
 
         # vectorized early-exit scan in enumeration order (semantics of
         # the sequential loop, reference src/tests.jl:311-343); NaN pvals

@@ -297,3 +297,40 @@ def test_si_hiton_pc_convenience(hmp_small):
     # neighborhood agrees with the full LGL run's neighborhood for var 0
     g = make_network(hmp_small, "fz", max_k=3, parallel="single", time_limit=0.0)
     assert set(state.state_results.keys()) == set(g.neighbors(0))
+
+
+def test_scan_digest_matches_sequential_scan():
+    # the scheduler's vectorized early-exit/weakest digest must reproduce the
+    # generator's sequential scan exactly (incl. NaN pvals, ties, empty
+    # prefixes, segments with no exit)
+    from flashweave_tpu.learning.scheduler import _scan_digest
+
+    rng = np.random.default_rng(7)
+    alpha = 0.3
+    for trial in range(50):
+        nreq = rng.integers(1, 12)
+        counts = rng.integers(1, 9, nreq)
+        Btot = int(counts.sum())
+        pval = rng.choice(
+            [0.0, 0.1, 0.1, 0.25, 0.29, 0.31, 0.9, np.nan], Btot
+        ).astype(np.float64)
+        suff = rng.random(Btot) > 0.15
+        offsets = np.zeros(nreq, np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        exit_e, w_loc = _scan_digest(pval, suff, offsets, counts, alpha)
+        for i in range(nreq):
+            o, b = int(offsets[i]), int(counts[i])
+            p, s = pval[o : o + b], suff[o : o + b]
+            # brute-force sequential scan
+            e_ref = -1
+            for j in range(b):
+                if not (p[j] < alpha and s[j]):
+                    e_ref = j
+                    break
+            upto = e_ref if e_ref >= 0 else b
+            w_ref, m_ref = -1, -1.0
+            for j in range(upto):
+                if p[j] >= m_ref:        # last occurrence wins ties
+                    m_ref, w_ref = p[j], j
+            assert exit_e[i] == e_ref, (trial, i)
+            assert w_loc[i] == w_ref, (trial, i, exit_e[i], p, s)
