@@ -151,9 +151,20 @@ def _subset_total(a: int, max_k: int) -> int:
 
 
 def _materialize_lowest(low_m, low_ref):
-    """Resolve the deferred weakest-significant reference into a TestResult."""
+    """Resolve the deferred weakest-significant reference into a TestResult.
+
+    Two layouts: the digest fast path stores the p-value directly (the
+    scheduler computed it on the early-exit prefix); the fallback scan stores
+    the full p-value array."""
     if low_ref is None:
         return TestResult(0.0, 0.0, 0, True), ()
+    if low_ref[0] is None:
+        _, pv, stat_a, df_a, suff_a, Zarr, kvec, i = low_ref
+        return (
+            TestResult(stat_a.item(i), pv, int(df_a.item(i)),
+                       bool(suff_a.item(i))),
+            tuple(Zarr[i, : kvec.item(i)].tolist()),
+        )
     stat_a, pval_a, df_a, suff_a, Zarr, kvec, i = low_ref
     return (
         TestResult(stat_a.item(i), pval_a.item(i), int(df_a.item(i)),
@@ -236,10 +247,14 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
         B = len(kvec)
         Zarr = Z_np[pos]  # padded pos 0 -> a real column; kvec masks it
         digest = None
+        nobs_a = None
         if cfg.discrete:
             got = yield ("mi", T, cand, Zarr, kvec)
             if len(got) == 5:
-                stat_a, pval_a, df_a, suff_a, digest = got
+                # scheduler fast path: p-values deferred (stat, df, n_obs,
+                # suff, digest); exact pvals live in the digest
+                stat_a, df_a, nobs_a, suff_a, digest = got
+                pval_a = None
             else:
                 stat_a, pval_a, df_a, suff_a = got
         elif not engine.recursive_pcor:
@@ -269,20 +284,27 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
         # the whole mega-batch); only a possible max_tests cutoff inside
         # this chunk forces the local scan
         if digest is not None and not (0 < cfg.max_tests <= num_tests + B):
-            e, w = digest
+            e, w, maxp, exit_pv = digest
             if w >= 0:
-                m = float(pval_a[w])
+                m = float(maxp)
                 if m >= low_m or math.isnan(low_m):
                     low_m = m
-                    low_ref = (stat_a, pval_a, df_a, suff_a, Zarr, kvec, w)
+                    low_ref = (None, m, stat_a, df_a, suff_a, Zarr, kvec, w)
             if e >= 0:
                 num_tests += e + 1
-                res = TestResult(stat_a.item(e), pval_a.item(e),
+                res = TestResult(stat_a.item(e), float(exit_pv),
                                  int(df_a.item(e)), bool(suff_a.item(e)))
                 return (res, tuple(Zarr[e, : kvec.item(e)].tolist()),
                         num_tests, num_tests / num_tests_total)
             num_tests += B
             continue
+        if pval_a is None:
+            # digest skipped (max_tests budget falls inside this chunk, or a
+            # non-digest dispatcher): full p-value semantics of
+            # condtests._finish_packed, computed generator-side
+            from ..ops import statfuns as sf
+
+            pval_a = np.where(suff_a, sf.mi_pval(stat_a, df_a, nobs_a), 1.0)
 
         # vectorized early-exit scan in enumeration order (semantics of
         # the sequential loop, reference src/tests.jl:311-343); NaN pvals

@@ -41,45 +41,82 @@ from ..types import HitonState, NbrStatDict
 from .hiton import HitonConfig, SearchControl, si_hiton_pc_gen
 
 
-def _scan_digest(pval, suff, offsets, counts, alpha):
+def _scan_digest(stat, df, n_obs, suff, offsets, counts, alpha):
     """Vectorized per-request early-exit/weakest digest over a mega-batch.
 
     For each request segment [offset, offset+count) computes, with the SAME
     float64 host semantics as the generator's sequential scan
     (hiton.test_subsets_gen):
-      exit_e: local index of the first non-significant test, or -1
-      w_loc:  local index of the weakest (max-pval, LAST occurrence on ties)
-              test within the pre-exit prefix, or -1 (empty prefix / NaN max)
-    One pass of O(total) numpy instead of ~10 small numpy calls per request.
+      exit_e:    local index of the first non-significant test, or -1
+      w_loc:     local index of the weakest (max-pval, LAST occurrence on
+                 ties) test within the pre-exit prefix, or -1 (empty prefix)
+      maxp:      the weakest test's p-value (NaN when w_loc == -1)
+      exit_pval: p-value of the exit test (1.0 when exit_e == -1)
+
+    Significance is classified WITHOUT per-element gammaincc: pval < alpha
+    <=> |mi|*n_obs > chi2_g_threshold(alpha)[df] (exact p-values are
+    recomputed for the vanishingly rare near-threshold elements).  gammaincc
+    then runs only over the concatenated early-exit prefixes plus the exit
+    elements -- exactly the tests the reference's sequential loop evaluates
+    (src/tests.jl:326-336) -- instead of the whole padded mega-batch.
     """
-    Btot = len(pval)
+    from ..ops import statfuns as sf
+
+    Btot = len(stat)
     nreq = len(offsets)
-    sig = (pval < alpha) & suff                       # NaN pval -> False
+    x = np.abs(stat) * n_obs                          # NaN stat -> not sig
+    thr = sf.chi2_g_threshold(alpha, int(df.max(initial=0)))
+    tv = thr[np.clip(df, 0, None)]
+    with np.errstate(invalid="ignore"):
+        sig = suff & (x > tv)
+        # near-threshold insurance: direct p-value comparison where the
+        # scaled statistic sits within fp noise of the inverted threshold
+        close = suff & (df > 0) & (np.abs(x - tv) <= 1e-9 * (1.0 + tv))
+    if close.any():
+        ci = np.nonzero(close)[0]
+        sig[ci] = sf.mi_pval(stat[ci], df[ci], n_obs[ci]) < alpha
     nonsig = np.nonzero(~sig)[0]
     pos = np.searchsorted(nonsig, offsets)
     first = np.append(nonsig, Btot)[pos]   # sentinel: no non-sig after offset
     ends = offsets + counts
     exit_e = np.where(first < ends, first - offsets, -1)
     upto = np.where(exit_e >= 0, exit_e, counts)      # prefix length
-    stops = offsets + upto
-    # segmented prefix max via interleaved reduceat ([start, stop) slices at
-    # even positions); sentinel element makes stop == Btot a valid index
-    idx = np.empty(2 * nreq, np.int64)
-    idx[0::2] = offsets
-    idx[1::2] = stops
-    p2 = np.append(pval, -np.inf)
-    M = np.maximum.reduceat(p2, idx)[0::2]
-    valid = (upto > 0) & ~np.isnan(M)
-    # LAST occurrence of the segment max inside the prefix: duplicate fancy
-    # assignment applies in order, so later indices win
-    seg_of = np.repeat(np.arange(nreq), counts)
-    gidx = np.arange(Btot)
-    eq = (gidx < stops[seg_of]) & (pval == M[seg_of])
-    eq_idx = np.nonzero(eq)[0]
-    w = np.full(nreq, -1, np.int64)
-    w[seg_of[eq_idx]] = eq_idx
-    w_loc = np.where(valid & (w >= 0), w - offsets, -1)
-    return exit_e, w_loc
+    # exact p-values on the concatenated prefixes (all significant => suff)
+    total = int(upto.sum())
+    seg_starts = np.zeros(nreq, np.int64)
+    np.cumsum(upto[:-1], out=seg_starts[1:])
+    w_loc = np.full(nreq, -1, np.int64)
+    maxp = np.full(nreq, np.nan)
+    if total:
+        rep = np.repeat(np.arange(nreq), upto)
+        gidx = np.arange(total) - seg_starts[rep] + offsets[rep]
+        ppv = sf.mi_pval(stat[gidx], df[gidx], n_obs[gidx])
+        # segmented prefix max via interleaved reduceat ([start, stop) at
+        # even positions); sentinel makes stop == total a valid index
+        idx = np.empty(2 * nreq, np.int64)
+        idx[0::2] = seg_starts
+        idx[1::2] = seg_starts + upto
+        p2 = np.append(ppv, -np.inf)
+        M = np.maximum.reduceat(p2, idx)[0::2]
+        valid = (upto > 0) & ~np.isnan(M)
+        # LAST occurrence of the segment max inside the prefix: duplicate
+        # fancy assignment applies in order, so later indices win
+        eq = ppv == M[rep]
+        eq_idx = np.nonzero(eq)[0]
+        w = np.full(nreq, -1, np.int64)
+        w[rep[eq_idx]] = eq_idx
+        ok = valid & (w >= 0)
+        w_loc = np.where(ok, w - seg_starts, -1)
+        maxp = np.where(ok, M, np.nan)
+    # exact p-values at the exit elements (reference semantics: ~suff -> 1.0)
+    exit_pval = np.ones(nreq)
+    has_exit = np.nonzero(exit_e >= 0)[0]
+    if has_exit.size:
+        ei = (offsets + exit_e)[has_exit]
+        exit_pval[has_exit] = np.where(
+            suff[ei], sf.mi_pval(stat[ei], df[ei], n_obs[ei]), 1.0
+        )
+    return exit_e, w_loc, maxp, exit_pval
 
 
 class LiveWhitelist:
@@ -351,17 +388,17 @@ class RoundScheduler:
         mi_h, mcor_h = bundle
         if mi_h is not None:
             handle, mi_items, counts = mi_h
-            stat, pval, df, suff = self.engine.mi_tests_finish(handle)
+            stat, df, n_obs, suff = self.engine.mi_tests_finish_lazy(handle)
             offsets = np.zeros(len(counts), np.int64)
             np.cumsum(counts[:-1], out=offsets[1:])
-            exit_e, w_loc = _scan_digest(pval, suff, offsets, counts,
-                                         self.cfg.alpha)
+            exit_e, w_loc, maxp, epv = _scan_digest(
+                stat, df, n_obs, suff, offsets, counts, self.cfg.alpha)
             off = 0
             for i, ((T, _), b) in enumerate(zip(mi_items, counts)):
                 b = int(b)
                 sl = slice(off, off + b)
-                responses[T] = (stat[sl], pval[sl], df[sl], suff[sl],
-                                (exit_e[i], w_loc[i]))
+                responses[T] = (stat[sl], df[sl], n_obs[sl], suff[sl],
+                                (exit_e[i], w_loc[i], maxp[i], epv[i]))
                 off += b
         if mcor_h is not None:
             handles, mcor_items = mcor_h

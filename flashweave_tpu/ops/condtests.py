@@ -314,6 +314,23 @@ class CondTestEngine:
             arr = np.moveaxis(arr, 1, 0).reshape(4, Bp)
         return self._finish_packed(arr, B)
 
+    def mi_tests_finish_lazy(self, handle):
+        """Block on a mi_tests_begin handle WITHOUT computing p-values;
+        returns (stat, df, n_obs, suff) in host float64.  The scheduler
+        classifies significance via chi2 thresholds (statfuns.
+        chi2_g_threshold) and evaluates gammaincc only on the early-exit
+        prefix, so the per-element host p-value pass over the padded
+        mega-batch disappears."""
+        out, B, Bp = handle
+        arr = np.asarray(out)                          # ONE fetch
+        if arr.ndim == 3:                              # scan: (nseg, 4, seg)
+            arr = np.moveaxis(arr, 1, 0).reshape(4, Bp)
+        stat = arr[0].astype(np.float64)[:B]
+        df = arr[1].astype(np.int64)[:B]
+        n_obs = arr[2].astype(np.float64)[:B]
+        suff = arr[3][:B] != 0
+        return stat, df, n_obs, suff
+
     def mi_tests_raw(self, X: np.ndarray, Y: np.ndarray, Zs: np.ndarray,
                      kvec: np.ndarray):
         """Evaluate B conditional MI tests; Zs shape (B, max_k), padded with 0.

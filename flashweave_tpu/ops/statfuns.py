@@ -59,6 +59,29 @@ def mi_pval(mi, df, n_obs, xp=np):
     return xp.where(df > 0, pval, 1.0)
 
 
+_chi2_thr_cache: dict = {}
+
+
+def chi2_g_threshold(alpha: float, max_df: int) -> np.ndarray:
+    """Per-df significance thresholds on the scaled G statistic x = |mi|*n.
+
+    thr[d] solves gammaincc(d/2, thr[d]) == alpha, so
+    ``mi_pval(mi, df, n) < alpha  <=>  |mi|*n > thr[df]`` for integer df >= 1
+    (df <= 0 maps to pval 1.0, thr[0] = inf).  Lets the scheduler classify
+    significance over a mega-batch WITHOUT evaluating gammaincc per element;
+    exact p-values are then computed only on the early-exit prefix -- the
+    tests the reference's sequential loop would actually have evaluated
+    (reference: src/tests.jl:326-336)."""
+    arr = _chi2_thr_cache.get(alpha)
+    if arr is None or len(arr) <= max_df:
+        from scipy.special import gammainccinv
+
+        d = np.arange(1, max_df + 1, dtype=np.float64)
+        arr = np.concatenate([[np.inf], gammainccinv(d / 2.0, alpha)])
+        _chi2_thr_cache[alpha] = arr
+    return arr
+
+
 def mi_pval_smalldf(mi, df, n_obs, max_df, xp=jnp):
     """chi2 p-value of the G statistic via closed forms for small integer df.
 

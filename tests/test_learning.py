@@ -305,19 +305,27 @@ def test_scan_digest_matches_sequential_scan():
     # prefixes, segments with no exit)
     from flashweave_tpu.learning.scheduler import _scan_digest
 
+    from flashweave_tpu.ops import statfuns as sf
+
     rng = np.random.default_rng(7)
     alpha = 0.3
     for trial in range(50):
-        nreq = rng.integers(1, 12)
+        nreq = int(rng.integers(1, 12))
         counts = rng.integers(1, 9, nreq)
         Btot = int(counts.sum())
-        pval = rng.choice(
-            [0.0, 0.1, 0.1, 0.25, 0.29, 0.31, 0.9, np.nan], Btot
+        # (stat, df, n_obs) whose mi_pval spans sig/non-sig/NaN/df<=0 cases,
+        # incl. exact repeats so last-occurrence tie-breaks are exercised
+        stat = rng.choice(
+            [0.0, 0.001, 0.001, 0.01, 0.05, 0.4, np.nan], Btot
         ).astype(np.float64)
+        df = rng.choice([0, 1, 1, 2, 4], Btot).astype(np.int64)
+        n_obs = np.full(Btot, 100.0)
         suff = rng.random(Btot) > 0.15
+        pval = np.where(suff, sf.mi_pval(stat, df, n_obs), 1.0)
         offsets = np.zeros(nreq, np.int64)
         np.cumsum(counts[:-1], out=offsets[1:])
-        exit_e, w_loc = _scan_digest(pval, suff, offsets, counts, alpha)
+        exit_e, w_loc, maxp, epv = _scan_digest(
+            stat, df, n_obs, suff, offsets, counts, alpha)
         for i in range(nreq):
             o, b = int(offsets[i]), int(counts[i])
             p, s = pval[o : o + b], suff[o : o + b]
@@ -334,3 +342,9 @@ def test_scan_digest_matches_sequential_scan():
                     m_ref, w_ref = p[j], j
             assert exit_e[i] == e_ref, (trial, i)
             assert w_loc[i] == w_ref, (trial, i, exit_e[i], p, s)
+            if w_ref >= 0:
+                assert maxp[i] == m_ref, (trial, i)
+            if e_ref >= 0:
+                assert epv[i] == p[e_ref] or (
+                    np.isnan(epv[i]) and np.isnan(p[e_ref])
+                ), (trial, i)
