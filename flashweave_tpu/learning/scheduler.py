@@ -49,7 +49,9 @@ def _scan_digest(stat, df, n_obs, suff, offsets, counts, alpha):
     (hiton.test_subsets_gen):
       exit_e:    local index of the first non-significant test, or -1
       w_loc:     local index of the weakest (max-pval, LAST occurrence on
-                 ties) test within the pre-exit prefix, or -1 (empty prefix)
+                 ties) test, or -1; computed only for no-exit segments --
+                 an exiting candidate returns its rejection immediately, so
+                 its deferred weakest is never consumed
       maxp:      the weakest test's p-value (NaN when w_loc == -1)
       exit_pval: p-value of the exit test (1.0 when exit_e == -1)
 
@@ -80,34 +82,17 @@ def _scan_digest(stat, df, n_obs, suff, offsets, counts, alpha):
     first = np.append(nonsig, Btot)[pos]   # sentinel: no non-sig after offset
     ends = offsets + counts
     exit_e = np.where(first < ends, first - offsets, -1)
-    upto = np.where(exit_e >= 0, exit_e, counts)      # prefix length
-    # exact p-values on the concatenated prefixes (all significant => suff)
-    total = int(upto.sum())
-    seg_starts = np.zeros(nreq, np.int64)
-    np.cumsum(upto[:-1], out=seg_starts[1:])
+    # weakest tracking is consumed only by requests that complete WITHOUT an
+    # exit (an exiting candidate returns its rejection immediately and the
+    # deferred weakest dies with the generator frame), so it is computed only
+    # for exit_e == -1 segments -- where the prefix is the whole segment and
+    # every element is significant (df >= 1, suff true)
     w_loc = np.full(nreq, -1, np.int64)
     maxp = np.full(nreq, np.nan)
-    if total:
-        rep = np.repeat(np.arange(nreq), upto)
-        gidx = np.arange(total) - seg_starts[rep] + offsets[rep]
-        ppv = sf.mi_pval(stat[gidx], df[gidx], n_obs[gidx])
-        # segmented prefix max via interleaved reduceat ([start, stop) at
-        # even positions); sentinel makes stop == total a valid index
-        idx = np.empty(2 * nreq, np.int64)
-        idx[0::2] = seg_starts
-        idx[1::2] = seg_starts + upto
-        p2 = np.append(ppv, -np.inf)
-        M = np.maximum.reduceat(p2, idx)[0::2]
-        valid = (upto > 0) & ~np.isnan(M)
-        # LAST occurrence of the segment max inside the prefix: duplicate
-        # fancy assignment applies in order, so later indices win
-        eq = ppv == M[rep]
-        eq_idx = np.nonzero(eq)[0]
-        w = np.full(nreq, -1, np.int64)
-        w[rep[eq_idx]] = eq_idx
-        ok = valid & (w >= 0)
-        w_loc = np.where(ok, w - seg_starts, -1)
-        maxp = np.where(ok, M, np.nan)
+    noex = np.nonzero(exit_e < 0)[0]
+    if noex.size:
+        _weakest_digest(stat, df, n_obs, x, offsets, counts, noex, w_loc,
+                        maxp)
     # exact p-values at the exit elements (reference semantics: ~suff -> 1.0)
     exit_pval = np.ones(nreq)
     has_exit = np.nonzero(exit_e >= 0)[0]
@@ -117,6 +102,79 @@ def _scan_digest(stat, df, n_obs, suff, offsets, counts, alpha):
             suff[ei], sf.mi_pval(stat[ei], df[ei], n_obs[ei]), 1.0
         )
     return exit_e, w_loc, maxp, exit_pval
+
+
+def _weakest_digest(stat, df, n_obs, x, offsets, counts, noex, w_loc, maxp):
+    """Weakest-significant (max-pval, last-occurrence-on-ties) per no-exit
+    segment, writing into w_loc/maxp in place.
+
+    Exploits that the chi2 p-value is strictly decreasing in x = |mi|*n_obs
+    for fixed df: the segment max can only be attained at the min-x element
+    of one of the segment's (df,) groups, so gammaincc runs once per
+    (segment, df) group instead of once per test.  Tie semantics match the
+    reference's sequential ``>=`` scan (src/tests.jl:281-346): within a df
+    group, ties at min x resolve to the LAST original index (stable sort);
+    across groups, bit-equal candidate p-values resolve to the larger index.
+    Below ~1e-300 gradual underflow can tie non-candidate elements too, so
+    those segments recompute exactly over the full prefix.
+    """
+    from ..ops import statfuns as sf
+
+    cnt2 = counts[noex].astype(np.int64)
+    total2 = int(cnt2.sum())
+    if total2 == 0:
+        return
+    seg_starts2 = np.zeros(len(noex), np.int64)
+    np.cumsum(cnt2[:-1], out=seg_starts2[1:])
+    rep2 = np.repeat(np.arange(len(noex)), cnt2)      # noex-local segment id
+    loc2 = np.arange(total2) - seg_starts2[rep2]      # index within segment
+    gidx = loc2 + offsets[noex][rep2]                 # global element index
+    x2 = x[gidx]
+    df2 = df[gidx]
+    order = np.lexsort((x2, df2, rep2))
+    rs, ds, xs = rep2[order], df2[order], x2[order]
+    loc_s = loc2[order]
+    newgrp = np.empty(total2, bool)
+    newgrp[0] = True
+    newgrp[1:] = (rs[1:] != rs[:-1]) | (ds[1:] != ds[:-1])
+    gstart = np.nonzero(newgrp)[0]
+    g_df = ds[gstart]
+    g_x = xs[gstart]                                  # per-group min x
+    pv = _gammaincc(g_df / 2.0, g_x)
+    # per-segment max over its groups (each no-exit segment has >= 1 group)
+    newreq = np.empty(len(gstart), bool)
+    newreq[0] = True
+    newreq[1:] = rs[gstart][1:] != rs[gstart][:-1]
+    reqgrp_start = np.nonzero(newreq)[0]
+    M2 = np.maximum.reduceat(pv, reqgrp_start)
+    rrank = np.cumsum(newreq) - 1                     # group -> segment rank
+    grp_of = np.cumsum(newgrp) - 1                    # sorted elem -> group
+    # last original index among each group's min-x run (stable sort keeps
+    # original order, so the run's last sorted element has the max index)
+    eq_run = xs == g_x[grp_of]
+    cand_last = np.maximum.reduceat(
+        np.where(eq_run, np.arange(total2), -1), gstart
+    )
+    win = pv == M2[rrank]
+    wl = np.where(win, loc_s[cand_last], -1)
+    w2 = np.maximum.reduceat(wl, reqgrp_start)
+    w_loc[noex] = w2
+    maxp[noex] = M2
+    # underflow guard: exact full-prefix recomputation for ultra-significant
+    # segments where denormal p-values can tie beyond the candidate set
+    bad = np.nonzero(M2 < 1e-300)[0]
+    for r in bad:
+        o, b = int(offsets[noex[r]]), int(counts[noex[r]])
+        ppv = sf.mi_pval(stat[o : o + b], df[o : o + b], n_obs[o : o + b])
+        M = ppv.max()
+        w_loc[noex[r]] = b - 1 - int(np.argmax(ppv[::-1] == M))
+        maxp[noex[r]] = M
+
+
+def _gammaincc(a, x):
+    from scipy.special import gammaincc
+
+    return gammaincc(a, x)
 
 
 class LiveWhitelist:

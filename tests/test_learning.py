@@ -309,17 +309,25 @@ def test_scan_digest_matches_sequential_scan():
 
     rng = np.random.default_rng(7)
     alpha = 0.3
-    for trial in range(50):
+    for trial in range(80):
         nreq = int(rng.integers(1, 12))
         counts = rng.integers(1, 9, nreq)
         Btot = int(counts.sum())
         # (stat, df, n_obs) whose mi_pval spans sig/non-sig/NaN/df<=0 cases,
-        # incl. exact repeats so last-occurrence tie-breaks are exercised
-        stat = rng.choice(
-            [0.0, 0.001, 0.001, 0.01, 0.05, 0.4, np.nan], Btot
-        ).astype(np.float64)
+        # incl. exact repeats so last-occurrence tie-breaks are exercised;
+        # trials >= 50 drive p-values into denormal/underflow territory to
+        # exercise the exact-recomputation guard of _weakest_digest
+        if trial < 50:
+            stat = rng.choice(
+                [0.0, 0.001, 0.001, 0.01, 0.05, 0.4, np.nan], Btot
+            ).astype(np.float64)
+            n_obs = np.full(Btot, 100.0)
+        else:
+            stat = rng.choice(
+                [0.0, 0.004, 0.004, 0.008, 0.3, 0.7, 0.7, np.nan], Btot
+            ).astype(np.float64)
+            n_obs = np.full(Btot, 1e5)
         df = rng.choice([0, 1, 1, 2, 4], Btot).astype(np.int64)
-        n_obs = np.full(Btot, 100.0)
         suff = rng.random(Btot) > 0.15
         pval = np.where(suff, sf.mi_pval(stat, df, n_obs), 1.0)
         offsets = np.zeros(nreq, np.int64)
@@ -335,15 +343,17 @@ def test_scan_digest_matches_sequential_scan():
                 if not (p[j] < alpha and s[j]):
                     e_ref = j
                     break
-            upto = e_ref if e_ref >= 0 else b
-            w_ref, m_ref = -1, -1.0
-            for j in range(upto):
-                if p[j] >= m_ref:        # last occurrence wins ties
-                    m_ref, w_ref = p[j], j
             assert exit_e[i] == e_ref, (trial, i)
-            assert w_loc[i] == w_ref, (trial, i, exit_e[i], p, s)
-            if w_ref >= 0:
-                assert maxp[i] == m_ref, (trial, i)
+            if e_ref < 0:
+                # weakest is only defined (and only consumed) when the
+                # segment completes without an exit
+                w_ref, m_ref = -1, -1.0
+                for j in range(b):
+                    if p[j] >= m_ref:    # last occurrence wins ties
+                        m_ref, w_ref = p[j], j
+                assert w_loc[i] == w_ref, (trial, i, exit_e[i], p, s)
+                if w_ref >= 0:
+                    assert maxp[i] == m_ref, (trial, i)
             if e_ref >= 0:
                 assert epv[i] == p[e_ref] or (
                     np.isnan(epv[i]) and np.isnan(p[e_ref])
