@@ -445,6 +445,160 @@ def _mesh_fz_fn(mesh, extract, ploc, p, suff_run, reliable_only):
                                  out_specs=out_specs, check_vma=False))
 
 
+# ---------------------------------------------------------------------------
+# single-dispatch sweeps: over the tunneled chip every XLA execution costs
+# ~100 ms of round-trip latency, so the device-extract paths fold ALL X-block
+# kernel calls + flattens of a sweep into ONE jitted function (the block
+# geometry is static), leaving exactly one dispatch for the whole univariate
+# pass plus one for the BH extraction.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _sweep_mi_pallas_fn(geom, tile_sz, L, p, nz, hps, n_obs_min, reliable,
+                        max_df):
+    from .pallas_kernels import mi_univar_stats_pallas
+
+    def sweep(dataT, data, marg, levels, maxv):
+        lps, stfs, unrels = [], [], []
+        for (s, start, y_start, y_len) in geom:
+            stat, df, nobs, sp = mi_univar_stats_pallas(
+                dataT, data, marg, levels, maxv, s, tile_sz, L, y_start,
+                y_len, nz, hps, n_obs_min,
+            )
+            lp, stf, unrel = _flatten_block_mi(
+                stat, df, nobs, sp, s, start, y_start, p, max_df, reliable
+            )
+            lps.append(lp)
+            stfs.append(stf)
+            unrels.append(unrel)
+        return (jnp.concatenate(lps), jnp.concatenate(stfs),
+                jnp.stack(unrels).sum())
+
+    return jax.jit(sweep)
+
+
+@lru_cache(maxsize=None)
+def _mesh_mi_sweep_fn(mesh, use_pallas, geom, tile_sz, L, p, nz, hps,
+                      n_obs_min, reliable, max_df):
+    """shard_map sweep: every X-block's Y-slab is sharded over 'd'; each
+    device emits its concatenated (logp, stat) slabs for the WHOLE sweep in
+    one execution.  geom entries are (s, start, y_start, ylen_loc)."""
+    n_data = 5 if use_pallas else 3
+
+    def body(*args):
+        di = lax.axis_index("d")
+        idt = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+        lps, stfs, unrels = [], [], []
+        for (s, start, y_start, ylen_loc) in geom:
+            y0 = (y_start + di * ylen_loc).astype(idt)
+            if use_pallas:
+                from .pallas_kernels import mi_univar_stats_pallas
+
+                dataT, data, marg, levels, maxv = args[:n_data]
+                stat, df, nobs, sp = mi_univar_stats_pallas(
+                    dataT, data, marg, levels, maxv, s, tile_sz, L, y0,
+                    ylen_loc, nz, hps, n_obs_min,
+                )
+            else:
+                data, levels, maxv = args[:n_data]
+                ctab = pair_ctab_block(data, s, tile_sz, L, y0, ylen_loc)
+                lx = lax.dynamic_slice(levels, (s,), (tile_sz,))
+                ly = lax.dynamic_slice(levels, (y0,), (ylen_loc,))
+                mx = lax.dynamic_slice(maxv, (s,), (tile_sz,))
+                my = lax.dynamic_slice(maxv, (y0,), (ylen_loc,))
+                stat, df, nobs, sp = _mi_block_stats_impl(
+                    ctab, lx, ly, mx, my, hps, n_obs_min, nz, L
+                )
+            lp, stf, unrel = _flatten_block_mi(
+                stat, df, nobs, sp, s, start, y0, p, max_df, reliable
+            )
+            lps.append(lp)
+            stfs.append(stf)
+            unrels.append(unrel)
+        return (jnp.concatenate(lps), jnp.concatenate(stfs),
+                lax.psum(jnp.stack(unrels).sum(), "d"))
+
+    in_specs = (P(),) * n_data
+    return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                                 out_specs=(P("d"), P("d"), P()),
+                                 check_vma=False))
+
+
+@lru_cache(maxsize=None)
+def _sweep_fznz_fn(geom, tile_sz, p, n_obs_min, reliable, use_pallas):
+    def sweep(data):
+        lps, stfs, unrels = [], [], []
+        for (s, start, y_start, y_len) in geom:
+            if use_pallas:
+                from .pallas_kernels import fz_nz_block_pallas
+
+                r, N = fz_nz_block_pallas(data, s, tile_sz, y_start, y_len)
+            else:
+                r, N = fz_nz_block(data, s, tile_sz, y_start, y_len)
+            lp, stf, unrel = _flatten_block_fz_nz(
+                r, N, s, start, y_start, p, n_obs_min, reliable
+            )
+            lps.append(lp)
+            stfs.append(stf)
+            unrels.append(unrel)
+        return (jnp.concatenate(lps), jnp.concatenate(stfs),
+                jnp.stack(unrels).sum())
+
+    return jax.jit(sweep)
+
+
+@lru_cache(maxsize=None)
+def _mesh_fznz_sweep_fn(mesh, use_pallas, geom, tile_sz, p, n_obs_min,
+                        reliable):
+    def body(data):
+        di = lax.axis_index("d")
+        idt = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+        lps, stfs, unrels = [], [], []
+        for (s, start, y_start, ylen_loc) in geom:
+            y0 = (y_start + di * ylen_loc).astype(idt)
+            if use_pallas:
+                from .pallas_kernels import fz_nz_block_pallas
+
+                r, N = fz_nz_block_pallas(data, s, tile_sz, y0, ylen_loc)
+            else:
+                r, N = fz_nz_block(data, s, tile_sz, y0, ylen_loc)
+            lp, stf, unrel = _flatten_block_fz_nz(
+                r, N, s, start, y0, p, n_obs_min, reliable
+            )
+            lps.append(lp)
+            stfs.append(stf)
+            unrels.append(unrel)
+        return (jnp.concatenate(lps), jnp.concatenate(stfs),
+                lax.psum(jnp.stack(unrels).sum(), "d"))
+
+    return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=(P(),),
+                                 out_specs=(P("d"), P("d"), P()),
+                                 check_vma=False))
+
+
+def _sweep_geom(p_int, tile_sz, slab, ndev=1):
+    """Static block geometry [(s, start, y_start, y_len_or_loc)] plus the
+    blk_meta slab map consumed by _extract_significant.  With ndev > 1 the
+    geometry carries per-device slab lengths and the meta enumerates the
+    device-major output layout of the shard_map sweep."""
+    geom, prefixes = [], []
+    per_dev = 0
+    for start in range(0, p_int, tile_sz):
+        t = min(tile_sz, p_int - start)
+        s = start if t == tile_sz else max(0, p_int - tile_sz)
+        y_start, y_len = slab(s)
+        ylen_loc = y_len // ndev
+        geom.append((s, start, y_start, ylen_loc))
+        prefixes.append(per_dev)
+        per_dev += tile_sz * ylen_loc
+    blk_meta = []
+    for dd in range(ndev):
+        for (s, start, y_start, ylen_loc), pref in zip(geom, prefixes):
+            blk_meta.append((dd * per_dev + pref, s,
+                             y_start + dd * ylen_loc, ylen_loc))
+    return tuple(geom), blk_meta
+
+
 @partial(jax.jit, static_argnames=("fdr",))
 def _bh_prefix_device(logp, m, alpha, fdr):
     """Log-space BH on device (semantics of statfuns.benjamini_hochberg).
@@ -686,8 +840,29 @@ def pw_univar_neighbors(
             )
             mesh_args = ((data_jT, data_j, marg, lvl_j, mv_j) if use_pallas
                          else (data_j, lvl_j, mv_j))
-        logp_parts, stat_parts, unrel_parts, blk_meta = [], [], [], []
-        offset = 0
+        if device_extract:
+            # single-dispatch sweep: all block kernels + flattens in ONE
+            # device execution, then one BH-extraction call
+            if mesh is not None:
+                geom, blk_meta = _sweep_geom(p_int, tile_sz, slab, ndev)
+                fn = _mesh_mi_sweep_fn(
+                    mesh, use_pallas, geom, tile_sz, L, p, nz, float(hps),
+                    float(n_obs_min), correct_reliable_only, (L - 1) ** 2,
+                )
+                lp, stf, unrel = fn(*mesh_args)
+            else:
+                geom, blk_meta = _sweep_geom(p_int, tile_sz, slab)
+                fn = _sweep_mi_pallas_fn(
+                    geom, tile_sz, L, p, nz, float(hps), float(n_obs_min),
+                    correct_reliable_only, (L - 1) ** 2,
+                )
+                lp, stf, unrel = fn(data_jT, data_j, marg,
+                                    jnp.asarray(levels_np),
+                                    jnp.asarray(maxv_np))
+            return _extract_significant(
+                [lp], [stf], blk_meta, p, n_pairs, alpha, FDR,
+                unrel_parts=[unrel], reliable=correct_reliable_only,
+            )
         for start in range(0, p_int, tile_sz):
             t = min(tile_sz, p_int - start)
             # fixed tile size for jit cache: pad the final block
@@ -698,39 +873,17 @@ def pw_univar_neighbors(
             if mesh is not None:
                 ylen_loc = y_len // ndev
                 fn = _mesh_mi_block_fn(
-                    mesh, use_pallas, device_extract, tile_sz, L, ylen_loc,
+                    mesh, use_pallas, False, tile_sz, L, ylen_loc,
                     p, nz, float(hps), float(n_obs_min),
                     correct_reliable_only, (L - 1) ** 2,
                 )
-                out = fn(*mesh_args, idx_dt(s), idx_dt(start),
-                         idx_dt(y_start))
-                if device_extract:
-                    lp, stf, unrel = out
-                    logp_parts.append(lp)
-                    stat_parts.append(stf)
-                    unrel_parts.append(unrel)
-                    for dd in range(ndev):
-                        blk_meta.append((offset + dd * tile_sz * ylen_loc, s,
-                                         y_start + dd * ylen_loc, ylen_loc))
-                    offset += tile_sz * y_len
-                    continue
-                stat, df, n_obs, sp = out
+                stat, df, n_obs, sp = fn(*mesh_args, idx_dt(s), idx_dt(start),
+                                         idx_dt(y_start))
             elif use_pallas:
                 stat, df, n_obs, sp = mi_univar_stats_pallas(
                     data_jT, data_j, marg, levels_np, maxv_np, s, tile_sz,
                     L, y_start, y_len, nz, float(hps), float(n_obs_min),
                 )
-                if device_extract:
-                    lp, stf, unrel = _flatten_block_mi(
-                        stat, df, n_obs, sp, s, start, y_start, p,
-                        (L - 1) ** 2, correct_reliable_only,
-                    )
-                    logp_parts.append(lp)
-                    stat_parts.append(stf)
-                    unrel_parts.append(unrel)
-                    blk_meta.append((offset, s, y_start, y_len))
-                    offset += tile_sz * y_len
-                    continue
             else:
                 ctab = pair_ctab_block(data_j, s, tile_sz, L, y_start, y_len)
                 stat, df, n_obs, sp = mi_block_stats(
@@ -744,11 +897,6 @@ def pw_univar_neighbors(
                  np.asarray(n_obs), np.asarray(sp)],
                 [stats, df_c, nobs_c, suff],
                 y_start=y_start,
-            )
-        if device_extract:
-            return _extract_significant(
-                logp_parts, stat_parts, blk_meta, p, n_pairs, alpha, FDR,
-                unrel_parts=unrel_parts, reliable=correct_reliable_only,
             )
         pvals = sf.mi_pval(stats, df_c, nobs_c)
         pvals = np.where(df_c > 0, pvals, 1.0)
@@ -802,8 +950,25 @@ def pw_univar_neighbors(
         use_pallas = (jax.default_backend() == "tpu" or FORCE_PALLAS)
         device_extract = (use_pallas or mesh is not None) and not return_result
         slab = _y_slabs(p_int, tile_sz, triangle=True)
-        logp_parts, stat_parts, unrel_parts, blk_meta = [], [], [], []
-        offset = 0
+        if device_extract:
+            # single-dispatch sweep (see the mi branch above)
+            if mesh is not None:
+                geom, blk_meta = _sweep_geom(p_int, tile_sz, slab, ndev)
+                fn = _mesh_fznz_sweep_fn(
+                    mesh, use_pallas, geom, tile_sz, p, float(n_obs_min),
+                    correct_reliable_only,
+                )
+            else:
+                geom, blk_meta = _sweep_geom(p_int, tile_sz, slab)
+                fn = _sweep_fznz_fn(
+                    geom, tile_sz, p, float(n_obs_min),
+                    correct_reliable_only, use_pallas,
+                )
+            lp, stf, unrel = fn(data_j)
+            return _extract_significant(
+                [lp], [stf], blk_meta, p, n_pairs, alpha, FDR,
+                unrel_parts=[unrel], reliable=correct_reliable_only,
+            )
         for start in range(0, p_int, tile_sz):
             t = min(tile_sz, p_int - start)
             s = start if t == tile_sz else max(0, p_int - tile_sz)
@@ -811,48 +976,21 @@ def pw_univar_neighbors(
             if mesh is not None:
                 ylen_loc = y_len // ndev
                 fn = _mesh_fznz_block_fn(
-                    mesh, use_pallas, device_extract, tile_sz, ylen_loc, p,
+                    mesh, use_pallas, False, tile_sz, ylen_loc, p,
                     float(n_obs_min), correct_reliable_only,
                 )
-                out = fn(data_j, idx_dt(s), idx_dt(start), idx_dt(y_start))
-                if device_extract:
-                    lp, stf, unrel = out
-                    logp_parts.append(lp)
-                    stat_parts.append(stf)
-                    unrel_parts.append(unrel)
-                    for dd in range(ndev):
-                        blk_meta.append((offset + dd * tile_sz * ylen_loc, s,
-                                         y_start + dd * ylen_loc, ylen_loc))
-                    offset += tile_sz * y_len
-                    continue
-                r, N = out
+                r, N = fn(data_j, idx_dt(s), idx_dt(start), idx_dt(y_start))
             elif use_pallas:
                 from .pallas_kernels import fz_nz_block_pallas
 
                 r, N = fz_nz_block_pallas(data_j, s, tile_sz, y_start, y_len)
             else:
                 r, N = fz_nz_block(data_j, s, tile_sz, y_start, y_len)
-            if device_extract:
-                lp, stf, unrel = _flatten_block_fz_nz(
-                    r, N, s, start, y_start, p, float(n_obs_min),
-                    correct_reliable_only,
-                )
-                logp_parts.append(lp)
-                stat_parts.append(stf)
-                unrel_parts.append(unrel)
-                blk_meta.append((offset, s, y_start, y_len))
-                offset += tile_sz * y_len
-                continue
             _condense_block(
                 s, tile_sz, p,
                 [np.asarray(r, np.float64), np.asarray(N, np.int64)],
                 [stats, n_obs],
                 y_start=y_start,
-            )
-        if device_extract:
-            return _extract_significant(
-                logp_parts, stat_parts, blk_meta, p, n_pairs, alpha, FDR,
-                unrel_parts=unrel_parts, reliable=correct_reliable_only,
             )
         # n_obs < n_obs_min -> stat forced to 0 (reference src/tests.jl:121-125)
         stats = np.where(n_obs >= n_obs_min, stats, 0.0)
