@@ -117,6 +117,14 @@ def _weakest_digest(stat, df, n_obs, x, offsets, counts, noex, w_loc, maxp):
     across groups, bit-equal candidate p-values resolve to the larger index.
     Below ~1e-300 gradual underflow can tie non-candidate elements too, so
     those segments recompute exactly over the full prefix.
+
+    Known (documented) divergence: above the 1e-300 guard, scipy's gammaincc
+    can also be fp-FLAT -- a non-candidate element (larger x, same df) lands
+    on a bit-equal p-value -- only where dp per ulp-x drops below one ulp-p,
+    which for p < alpha requires alpha >~ 0.3.  At realistic alphas
+    (0.01-0.05) this cannot occur; if it does, the reference's sequential
+    ``>=`` scan would report the larger index (same p-value, different
+    stat/df/Zs), while this digest reports the min-x candidate.
     """
     from ..ops import statfuns as sf
 

@@ -13,8 +13,9 @@ The TPU-native equivalent is a jax.sharding.Mesh:
   data-parallel across devices with zero communication, the merge being the
   host-side gather of per-test statistics.
 
-All sharding is expressed with NamedSharding constraints on jit inputs; XLA's
-SPMD partitioner propagates them through the kernels.
+All sharded compute paths are expressed EXPLICITLY with jax.shard_map over
+the mesh's 'd' axis (ops/univariate.py, ops/condtests.py); the helpers here
+only build the mesh and place replicated inputs.
 """
 
 from __future__ import annotations

@@ -11,7 +11,7 @@ collective in the sharded paths -- the unreliable-count psum, the BH-sort
 gather, none in the conditional batch -- is DCN-valid).  On the virtual
 multi-device CPU mesh (tests, single-chip dev) the devices share host cores,
 so the harness validates the SPMD *expression* and the result parity, not
-wall-clock speedup; set ``expect_speedup=False`` there.
+wall-clock speedup; efficiency numbers are meaningful only on real devices.
 """
 
 from __future__ import annotations

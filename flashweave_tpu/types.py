@@ -2,9 +2,9 @@
 
 TPU-native re-design of the reference's type layer (reference: src/types.jl).
 The per-test dispatch objects (MiTest/FzTest/... reference src/types.jl:53-136)
-become a single lightweight `TestSpec` in models/modes.py; the result containers
-below mirror the reference's semantics 1:1 so that serialization and parity
-tests line up:
+are collapsed into plain parameters (`learning/hiton.HitonConfig` +
+`ops/condtests.CondTestEngine`); the result containers below mirror the
+reference's semantics 1:1 so that serialization and parity tests line up:
 
 - TestResult            <- reference src/types.jl:140-145
 - HitonState            <- reference src/types.jl:154-160
