@@ -21,6 +21,8 @@ pairs) from tiny per-pair aggregates pulled off-device.
 
 from __future__ import annotations
 
+import math
+import warnings
 from functools import lru_cache, partial
 from typing import Dict, Optional
 
@@ -246,90 +248,122 @@ def _y_slabs(p_int: int, tile_sz: int, triangle: bool):
 #
 # Over the tunneled chip, pulling the full condensed statistics to host is
 # the bottleneck at scale (~16 MB/s; 10k variables = ~1 GB), and host-side
-# gammaincc over 5e7 pairs costs another minute.  Instead p-values are
-# computed on device in LOG space (no underflow, total order preserved),
-# BH-FDR runs as one device sort + reverse-cummin, and only the significant
-# pairs (plus one count scalar) ever cross to the host.
+# gammaincc over 5e7 pairs costs another minute.  p-values are computed on
+# device in LOG space (no underflow, total order preserved) and only the
+# significant pairs (plus tiny count tables) ever cross to the host.
+#
+# The extraction is TWO sweep passes so device memory stays O(significant)
+# instead of O(covered pairs) -- the reference's univariate pass works at any
+# p (reference: src/tests.jl:474-519), and at its headline ~100k-variable
+# scale O(pairs) buffers (~10^10 entries) cannot exist on one chip:
+#
+#   pass A: run the sweep kernels, reduce each block to CUMULATIVE counts of
+#           log p-values below ~48 host-chosen edges (a tiny count table per
+#           block) plus unreliable-test counts.  No per-pair output.
+#   host:   pick the BH-safe extraction edge e* from the count table -- the
+#           smallest edge provably above every BH-significant p-value (the
+#           argument: a significant p in bin b needs p <= alpha*rank/m and
+#           rank <= C[b], so bins with lower_edge > alpha*C[b]/m cannot hold
+#           one) -- and per-block candidate counts at e* (exact, the same
+#           comparison pass B performs).
+#   pass B: re-run the sweep; each block compacts its p < e* candidates into
+#           an exactly-sized buffer (chunk-count + sort selection: measured
+#           on v5e, sort is ~2.5 ns/el where jnp.nonzero costs ~9 ns/el),
+#           then one global sort + log-space BH over all candidates finishes
+#           in the same dispatch.  Candidate ranks in the global sort equal
+#           their ranks over all pairs because every excluded pair has
+#           p >= e* > every candidate -- the same argument as the
+#           reference's accelerated pre-filtering BH (src/statfuns.jl:326).
+#
+# Re-running the kernels costs 2x FLOPs but the sweep is MXU-bound and
+# cheap relative to materializing O(pairs) HBM traffic; both passes emit
+# only O(counts) / O(candidates) bytes.
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("max_df", "reliable_only"))
-def _flatten_block_mi(stat, df, nobs, suff, s, start, y_start, p, max_df,
-                      reliable_only):
-    t, ylen = stat.shape
-    X = s + lax.broadcasted_iota(jnp.int32, (t, ylen), 0)
-    Y = y_start + lax.broadcasted_iota(jnp.int32, (t, ylen), 1)
-    # X >= start dedupes the overlap of the re-aligned final block
+N_EXTRACT_BINS = 48
+EXTRACT_BUDGET = 1 << 26  # max candidates held on device (x ~16 B each)
+
+
+@jax.jit
+def _fz_center(data):
+    """Per-variable centering + sum-of-squares sqrt for the blocked fz sweep
+    (one pass; the blocked correlation r = xc_X.T @ xc_Y / (ssd_X ssd_Y) then
+    matches cor_matrix exactly)."""
+    mu = data.mean(axis=0, keepdims=True)
+    xc = data - mu
+    ssd = jnp.sqrt((xc * xc).sum(axis=0))
+    return xc, ssd
+
+
+def _block_scores(kind, use_pallas, data_args, s, start, y0, tile_sz, ylen,
+                  L, p, nz, hps, n_obs_min, reliable, max_df):
+    """One X-block x Y-slab of the sweep reduced to extraction scores.
+
+    Returns (logp, stat, X, Y, unrel): logp is the log p-value with +inf in
+    non-pair/invalid slots and the reliable-only fill for unreliable tests;
+    X/Y are global variable indices.  ``X >= start`` dedupes the overlap of
+    the re-aligned final block.
+    """
+    if kind == "mi":
+        if use_pallas:
+            from .pallas_kernels import mi_univar_stats_pallas
+
+            dataT, data, marg, levels, maxv = data_args
+            stat, df, nobs, suff = mi_univar_stats_pallas(
+                dataT, data, marg, levels, maxv, s, tile_sz, L, y0, ylen,
+                nz, hps, n_obs_min,
+            )
+        else:
+            data, levels, maxv = data_args
+            ctab = pair_ctab_block(data, s, tile_sz, L, y0, ylen)
+            lx = lax.dynamic_slice(levels, (s,), (tile_sz,))
+            ly = lax.dynamic_slice(levels, (y0,), (ylen,))
+            mx = lax.dynamic_slice(maxv, (s,), (tile_sz,))
+            my = lax.dynamic_slice(maxv, (y0,), (ylen,))
+            stat, df, nobs, suff = _mi_block_stats_impl(
+                ctab, lx, ly, mx, my, hps, n_obs_min, nz, L
+            )
+        logp = sf.mi_logpval_smalldf(stat, df, nobs, max_df, xp=jnp)
+    elif kind == "fznz":
+        (data,) = data_args
+        if use_pallas:
+            from .pallas_kernels import fz_nz_block_pallas
+
+            r, N = fz_nz_block_pallas(data, s, tile_sz, y0, ylen)
+        else:
+            r, N = fz_nz_block(data, s, tile_sz, y0, ylen)
+        suff = N >= n_obs_min
+        stat = jnp.where(suff, r, 0.0)
+        logp = sf.fz_logpval(stat, N, 0, xp=jnp)
+    else:  # "fz": blocked correlation sweep over centered data
+        xc, ssd = data_args
+        n = xc.shape[0]
+        xslab = lax.dynamic_slice(xc, (0, s), (n, tile_sz))
+        yslab = lax.dynamic_slice(xc, (0, y0), (n, ylen))
+        cov = xslab.T @ yslab
+        dx = lax.dynamic_slice(ssd, (s,), (tile_sz,))
+        dy = lax.dynamic_slice(ssd, (y0,), (ylen,))
+        denom = dx[:, None] * dy[None, :]
+        stat = jnp.where(denom > 0, cov / jnp.where(denom > 0, denom, 1.0),
+                         jnp.nan)
+        if n >= n_obs_min:
+            # NaN correlations (zero variance) are unreliable like the host
+            # path's NaN p-values
+            logp = sf.fz_logpval(stat, n, 0, xp=jnp)
+            suff = ~jnp.isnan(logp)
+        else:
+            stat = jnp.zeros_like(stat)
+            logp = jnp.zeros_like(stat)
+            suff = jnp.zeros(stat.shape, bool)
+    t, q = stat.shape
+    X = s + lax.broadcasted_iota(jnp.int32, (t, q), 0)
+    Y = y0 + lax.broadcasted_iota(jnp.int32, (t, q), 1)
     valid = (X < Y) & (X >= start) & (Y < p)
-    logp = sf.mi_logpval_smalldf(stat, df, nobs, max_df, xp=jnp)
-    fill = jnp.inf if reliable_only else 0.0
+    fill = jnp.inf if reliable else 0.0
     logp = jnp.where(suff, logp, fill)
     logp = jnp.where(valid, logp, jnp.inf)
     unrel = (valid & ~suff).sum()
-    return logp.ravel(), stat.ravel(), unrel
-
-
-@partial(jax.jit, static_argnames=("reliable_only",))
-def _flatten_block_fz_nz(r, N, s, start, y_start, p, n_obs_min,
-                         reliable_only):
-    t, ylen = r.shape
-    X = s + lax.broadcasted_iota(jnp.int32, (t, ylen), 0)
-    Y = y_start + lax.broadcasted_iota(jnp.int32, (t, ylen), 1)
-    valid = (X < Y) & (X >= start) & (Y < p)
-    suff = N >= n_obs_min
-    stat = jnp.where(suff, r, 0.0)
-    logp = sf.fz_logpval(stat, N, 0, xp=jnp)
-    fill = jnp.inf if reliable_only else 0.0
-    logp = jnp.where(suff, logp, fill)
-    logp = jnp.where(valid, logp, jnp.inf)
-    unrel = (valid & ~suff).sum()
-    return logp.ravel(), stat.ravel(), unrel
-
-
-@partial(jax.jit, static_argnames=("suff", "reliable_only"))
-def _flatten_fz_full(C, n, p, suff, reliable_only):
-    """Flatten the device correlation matrix's X<Y triangle into log
-    p-values (fz mode; the power check n >= n_obs_min is a run-level
-    scalar).  NaN correlations (zero-variance variables) count as
-    unreliable like the host path's NaN p-values."""
-    P = C.shape[0]
-    X = lax.broadcasted_iota(jnp.int32, (P, P), 0)
-    Y = lax.broadcasted_iota(jnp.int32, (P, P), 1)
-    valid = (X < Y) & (Y < p)
-    if suff:
-        logp = sf.fz_logpval(C, n, 0, xp=jnp)
-        bad = jnp.isnan(logp)
-        fill = jnp.inf if reliable_only else 0.0
-        logp = jnp.where(bad, fill, logp)
-    else:
-        bad = jnp.ones_like(C, dtype=bool)
-        logp = jnp.full_like(C, jnp.inf if reliable_only else 0.0)
-    logp = jnp.where(valid, logp, jnp.inf)
-    unrel = (valid & bad).sum()
-    stat = jnp.where(jnp.isnan(C), jnp.nan, C) if suff else jnp.zeros_like(C)
-    return logp.ravel(), stat.ravel(), unrel
-
-
-@partial(jax.jit, static_argnames=("suff", "reliable_only"))
-def _flatten_fz_slab(C, n, y0, p, suff, reliable_only):
-    """_flatten_fz_full for a (p_int, ploc) correlation slab whose columns
-    are global variables [y0, y0+ploc) -- the per-device piece of the
-    mesh-sharded fz pass."""
-    Pr, ploc = C.shape
-    X = lax.broadcasted_iota(jnp.int32, (Pr, ploc), 0)
-    Y = y0.astype(jnp.int32) + lax.broadcasted_iota(jnp.int32, (Pr, ploc), 1)
-    valid = (X < Y) & (Y < p) & (X < p)
-    if suff:
-        logp = sf.fz_logpval(C, n, 0, xp=jnp)
-        bad = jnp.isnan(logp)
-        fill = jnp.inf if reliable_only else 0.0
-        logp = jnp.where(bad, fill, logp)
-    else:
-        bad = jnp.ones_like(C, dtype=bool)
-        logp = jnp.full_like(C, jnp.inf if reliable_only else 0.0)
-    logp = jnp.where(valid, logp, jnp.inf)
-    unrel = (valid & bad).sum()
-    stat = jnp.where(jnp.isnan(C), jnp.nan, C) if suff else jnp.zeros_like(C)
-    return logp.ravel(), stat.ravel(), unrel
+    return logp, stat, X, Y, unrel
 
 
 # ---------------------------------------------------------------------------
@@ -347,12 +381,12 @@ def _flatten_fz_slab(C, n, y0, p, suff, reliable_only):
 # (reference: src/tests.jl:474-519 pmap over row-blocks + gather).
 # ---------------------------------------------------------------------------
 
-@lru_cache(maxsize=None)
-def _mesh_mi_block_fn(mesh, use_pallas, extract, tile, L, ylen_loc, p,
-                      nz, hps, n_obs_min, reliable_only, max_df):
-    """jit(shard_map) computing one X-block's stats with the Y-slab sharded
-    over the mesh.  extract=True returns the flattened (logp, stat, unrel)
-    fast-path triple; otherwise the raw (stat, df, n_obs, suff) slabs."""
+@lru_cache(maxsize=8)
+def _mesh_mi_block_fn(mesh, use_pallas, tile, L, ylen_loc, nz, hps,
+                      n_obs_min):
+    """jit(shard_map) computing one X-block's raw (stat, df, n_obs, suff)
+    slabs with the Y-slab sharded over the mesh (the condensed host path;
+    the fast path goes through _extract_scan)."""
     n_data = 5 if use_pallas else 3
 
     def body(*args):
@@ -377,46 +411,33 @@ def _mesh_mi_block_fn(mesh, use_pallas, extract, tile, L, ylen_loc, p,
             stat, df, nobs, sp = _mi_block_stats_impl(
                 ctab, lx, ly, mx, my, hps, n_obs_min, nz, L
             )
-        if extract:
-            lp, stf, unrel = _flatten_block_mi(
-                stat, df, nobs, sp, s, start, y0, p, max_df, reliable_only
-            )
-            return lp, stf, lax.psum(unrel, "d")
         return stat, df, nobs, sp
 
     in_specs = (P(),) * (n_data + 3)
-    out_specs = (P("d"), P("d"), P()) if extract else (P(None, "d"),) * 4
     return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=in_specs,
-                                 out_specs=out_specs, check_vma=False))
+                                 out_specs=(P(None, "d"),) * 4,
+                                 check_vma=False))
 
 
-@lru_cache(maxsize=None)
-def _mesh_fznz_block_fn(mesh, use_pallas, extract, tile, ylen_loc, p,
-                        n_obs_min, reliable_only):
+@lru_cache(maxsize=8)
+def _mesh_fznz_block_fn(mesh, use_pallas, tile, ylen_loc):
     def body(data, s, start, y_start):
         di = lax.axis_index("d").astype(s.dtype)
         y0 = y_start + di * ylen_loc
         if use_pallas:
             from .pallas_kernels import fz_nz_block_pallas
 
-            r, N = fz_nz_block_pallas(data, s, tile, y0, ylen_loc)
-        else:
-            r, N = fz_nz_block(data, s, tile, y0, ylen_loc)
-        if extract:
-            lp, stf, unrel = _flatten_block_fz_nz(
-                r, N, s, start, y0, p, n_obs_min, reliable_only
-            )
-            return lp, stf, lax.psum(unrel, "d")
-        return r, N
+            return fz_nz_block_pallas(data, s, tile, y0, ylen_loc)
+        return fz_nz_block(data, s, tile, y0, ylen_loc)
 
-    out_specs = (P("d"), P("d"), P()) if extract else (P(None, "d"),) * 2
     return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=(P(),) * 4,
-                                 out_specs=out_specs, check_vma=False))
+                                 out_specs=(P(None, "d"),) * 2,
+                                 check_vma=False))
 
 
-@lru_cache(maxsize=None)
-def _mesh_fz_fn(mesh, extract, ploc, p, suff_run, reliable_only):
-    """Sharded full correlation pass: device d computes the (p_int, ploc)
+@lru_cache(maxsize=8)
+def _mesh_fz_fn(mesh, ploc):
+    """Sharded full correlation matrix: device d computes the (p_int, ploc)
     correlation slab against its own column range via one local matmul."""
     def body(data):
         n = data.shape[0]
@@ -432,288 +453,325 @@ def _mesh_fz_fn(mesh, extract, ploc, p, suff_run, reliable_only):
         d_all = jnp.sqrt(ss)
         d_y = lax.dynamic_slice(d_all, (y0,), (ploc,))
         denom = d_all[:, None] * d_y[None, :]
-        C = jnp.where(denom > 0, cov / jnp.where(denom > 0, denom, 1.0),
-                      jnp.nan)
-        if extract:
-            lp, stf, unrel = _flatten_fz_slab(C, n, y0, p, suff_run,
-                                              reliable_only)
-            return lp, stf, lax.psum(unrel, "d")
-        return C
+        return jnp.where(denom > 0, cov / jnp.where(denom > 0, denom, 1.0),
+                         jnp.nan)
 
-    out_specs = (P("d"), P("d"), P()) if extract else P(None, "d")
     return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=(P(),),
-                                 out_specs=out_specs, check_vma=False))
+                                 out_specs=P(None, "d"), check_vma=False))
 
 
 # ---------------------------------------------------------------------------
-# single-dispatch sweeps: over the tunneled chip every XLA execution costs
-# ~100 ms of round-trip latency, so the device-extract paths fold ALL X-block
-# kernel calls + flattens of a sweep into ONE jitted function (the block
-# geometry is static), leaving exactly one dispatch for the whole univariate
-# pass plus one for the BH extraction.
+# two-pass scan extraction (see the design comment above _block_scores)
 # ---------------------------------------------------------------------------
 
-@lru_cache(maxsize=None)
-def _sweep_mi_pallas_fn(geom, tile_sz, L, p, nz, hps, n_obs_min, reliable,
-                        max_df):
-    from .pallas_kernels import mi_univar_stats_pallas
+def _extract_edges(alpha: float, n_pairs: int) -> np.ndarray:
+    """Decreasing log p-value edges e_0 = log(alpha) .. log(alpha/(4m)).
 
-    def sweep(dataT, data, marg, levels, maxv):
-        lps, stfs, unrels = [], [], []
-        for (s, start, y_start, y_len) in geom:
-            stat, df, nobs, sp = mi_univar_stats_pallas(
-                dataT, data, marg, levels, maxv, s, tile_sz, L, y_start,
-                y_len, nz, hps, n_obs_min,
-            )
-            lp, stf, unrel = _flatten_block_mi(
-                stat, df, nobs, sp, s, start, y_start, p, max_df, reliable
-            )
-            lps.append(lp)
-            stfs.append(stf)
-            unrels.append(unrel)
-        return (jnp.concatenate(lps), jnp.concatenate(stfs),
-                jnp.stack(unrels).sum())
-
-    return jax.jit(sweep)
+    Everything below the last edge is automatically BH-significant
+    (p < alpha/m implies p <= alpha*rank/m for any rank >= 1), so the edge
+    grid only needs to resolve the region where the BH cutoff can fall; the
+    geometric spacing bounds extraction overshoot to ~45% of the pair count
+    in the cutoff's own bin."""
+    la = math.log(alpha)
+    return np.linspace(la, la - math.log(4.0 * max(float(n_pairs), 2.0)),
+                       N_EXTRACT_BINS)
 
 
-@lru_cache(maxsize=None)
-def _mesh_mi_sweep_fn(mesh, use_pallas, geom, tile_sz, L, p, nz, hps,
-                      n_obs_min, reliable, max_df):
-    """shard_map sweep: every X-block's Y-slab is sharded over 'd'; each
-    device emits its concatenated (logp, stat) slabs for the WHOLE sweep in
-    one execution.  geom entries are (s, start, y_start, ylen_loc)."""
-    n_data = 5 if use_pallas else 3
+def _select_bin(counts: np.ndarray, m: float, alpha: float,
+                edges: np.ndarray) -> int:
+    """Smallest bin index b such that the extraction edge e_b provably
+    exceeds every BH-significant p-value.
 
-    def body(*args):
-        di = lax.axis_index("d")
-        idt = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
-        lps, stfs, unrels = [], [], []
-        for (s, start, y_start, ylen_loc) in geom:
-            y0 = (y_start + di * ylen_loc).astype(idt)
-            if use_pallas:
-                from .pallas_kernels import mi_univar_stats_pallas
-
-                dataT, data, marg, levels, maxv = args[:n_data]
-                stat, df, nobs, sp = mi_univar_stats_pallas(
-                    dataT, data, marg, levels, maxv, s, tile_sz, L, y0,
-                    ylen_loc, nz, hps, n_obs_min,
-                )
-            else:
-                data, levels, maxv = args[:n_data]
-                ctab = pair_ctab_block(data, s, tile_sz, L, y0, ylen_loc)
-                lx = lax.dynamic_slice(levels, (s,), (tile_sz,))
-                ly = lax.dynamic_slice(levels, (y0,), (ylen_loc,))
-                mx = lax.dynamic_slice(maxv, (s,), (tile_sz,))
-                my = lax.dynamic_slice(maxv, (y0,), (ylen_loc,))
-                stat, df, nobs, sp = _mi_block_stats_impl(
-                    ctab, lx, ly, mx, my, hps, n_obs_min, nz, L
-                )
-            lp, stf, unrel = _flatten_block_mi(
-                stat, df, nobs, sp, s, start, y0, p, max_df, reliable
-            )
-            lps.append(lp)
-            stfs.append(stf)
-            unrels.append(unrel)
-        return (jnp.concatenate(lps), jnp.concatenate(stfs),
-                lax.psum(jnp.stack(unrels).sum(), "d"))
-
-    in_specs = (P(),) * n_data
-    return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=in_specs,
-                                 out_specs=(P("d"), P("d"), P()),
-                                 check_vma=False))
+    A significant p in bin b (edges[b+1] <= log p < edges[b]) satisfies
+    p <= alpha * rank(p) / m with rank(p) <= counts[b], so a bin with
+    edges[b+1] > log(alpha * counts[b] / m) cannot contain one; the first
+    bin violating that bound is the safe (and tight, to one bin) choice.
+    Falls through to the auto-significant last bin."""
+    la = math.log(alpha)
+    lm = math.log(max(m, 1.0))
+    for b in range(len(edges) - 1):
+        if counts[b] > 0 and edges[b + 1] <= la + math.log(counts[b]) - lm:
+            return b
+    return len(edges) - 1
 
 
-@lru_cache(maxsize=None)
-def _sweep_fznz_fn(geom, tile_sz, p, n_obs_min, reliable, use_pallas):
-    def sweep(data):
-        lps, stfs, unrels = [], [], []
-        for (s, start, y_start, y_len) in geom:
-            if use_pallas:
-                from .pallas_kernels import fz_nz_block_pallas
+def _scan_groups(p_int, tile_sz, slab, ndev=1):
+    """Sweep blocks grouped by per-device Y-slab length for lax.scan.
 
-                r, N = fz_nz_block_pallas(data, s, tile_sz, y_start, y_len)
-            else:
-                r, N = fz_nz_block(data, s, tile_sz, y_start, y_len)
-            lp, stf, unrel = _flatten_block_fz_nz(
-                r, N, s, start, y_start, p, n_obs_min, reliable
-            )
-            lps.append(lp)
-            stfs.append(stf)
-            unrels.append(unrel)
-        return (jnp.concatenate(lps), jnp.concatenate(stfs),
-                jnp.stack(unrels).sum())
-
-    return jax.jit(sweep)
-
-
-@lru_cache(maxsize=None)
-def _mesh_fznz_sweep_fn(mesh, use_pallas, geom, tile_sz, p, n_obs_min,
-                        reliable):
-    def body(data):
-        di = lax.axis_index("d")
-        idt = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
-        lps, stfs, unrels = [], [], []
-        for (s, start, y_start, ylen_loc) in geom:
-            y0 = (y_start + di * ylen_loc).astype(idt)
-            if use_pallas:
-                from .pallas_kernels import fz_nz_block_pallas
-
-                r, N = fz_nz_block_pallas(data, s, tile_sz, y0, ylen_loc)
-            else:
-                r, N = fz_nz_block(data, s, tile_sz, y0, ylen_loc)
-            lp, stf, unrel = _flatten_block_fz_nz(
-                r, N, s, start, y0, p, n_obs_min, reliable
-            )
-            lps.append(lp)
-            stfs.append(stf)
-            unrels.append(unrel)
-        return (jnp.concatenate(lps), jnp.concatenate(stfs),
-                lax.psum(jnp.stack(unrels).sum(), "d"))
-
-    return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=(P(),),
-                                 out_specs=(P("d"), P("d"), P()),
-                                 check_vma=False))
-
-
-def _sweep_geom(p_int, tile_sz, slab, ndev=1):
-    """Static block geometry [(s, start, y_start, y_len_or_loc)] plus the
-    blk_meta slab map consumed by _extract_significant.  With ndev > 1 the
-    geometry carries per-device slab lengths and the meta enumerates the
-    device-major output layout of the shard_map sweep."""
-    geom, prefixes = [], []
-    per_dev = 0
+    Returns a static tuple of (ylen_loc, ((s, start, y_start), ...)) groups;
+    the triangle slab bucketing keeps this to <= ~8 groups, so the compiled
+    sweep program is O(groups), not O(blocks)."""
+    by_len: Dict[int, list] = {}
+    order = []
     for start in range(0, p_int, tile_sz):
         t = min(tile_sz, p_int - start)
         s = start if t == tile_sz else max(0, p_int - tile_sz)
         y_start, y_len = slab(s)
         ylen_loc = y_len // ndev
-        geom.append((s, start, y_start, ylen_loc))
-        prefixes.append(per_dev)
-        per_dev += tile_sz * ylen_loc
-    blk_meta = []
-    for dd in range(ndev):
-        for (s, start, y_start, ylen_loc), pref in zip(geom, prefixes):
-            blk_meta.append((dd * per_dev + pref, s,
-                             y_start + dd * ylen_loc, ylen_loc))
-    return tuple(geom), blk_meta
+        if ylen_loc not in by_len:
+            by_len[ylen_loc] = []
+            order.append(ylen_loc)
+        by_len[ylen_loc].append((s, start, y_start))
+    return tuple((yl, tuple(by_len[yl])) for yl in order)
 
 
-@partial(jax.jit, static_argnames=("fdr",))
-def _bh_prefix_device(logp, m, alpha, fdr):
-    """Log-space BH on device (semantics of statfuns.benjamini_hochberg).
+@lru_cache(maxsize=8)
+def _passA_fn(mesh, kind, use_pallas, groups, tile_sz, L, p, nz, hps,
+              n_obs_min, reliable, max_df, n_data):
+    """Counting sweep: per block, cumulative counts of log p below each edge
+    (plus the unreliable count), packed as one (nsteps, nbins+1) i32 table.
+    Under a mesh each device counts its own Y-slab shard (device-major rows,
+    no collectives)."""
+    nbins = N_EXTRACT_BINS
 
-    Returns (order, ladj_sorted, n_sig): the significant set is always a
-    PREFIX of the sorted order because the adjusted value is a suffix-cummin
-    (monotone along the sort)."""
-    N = logp.shape[0]
-    order = jnp.argsort(logp)
-    slog = jnp.take(logp, order)
-    la = jnp.log(alpha)
-    if fdr:
-        ranks = jnp.arange(1, N + 1, dtype=slog.dtype)
-        terms = jnp.where(slog < la, slog + jnp.log(m) - jnp.log(ranks),
-                          jnp.inf)
-        ladj = jnp.minimum(lax.cummin(terms, reverse=True), 0.0)
-    else:
-        ladj = slog
-    n_sig = (ladj < la).sum()
-    return order, ladj, n_sig
+    def body(*args):
+        data_args = args[:n_data]
+        edges = args[n_data]
+        di = lax.axis_index("d") if mesh is not None else 0
+        rows = []
+        for ylen_loc, steps in groups:
+            s_a = jnp.asarray([st[0] for st in steps], jnp.int32)
+            st_a = jnp.asarray([st[1] for st in steps], jnp.int32)
+            ys_a = jnp.asarray([st[2] for st in steps], jnp.int32)
 
+            def step_fn(carry, xs, ylen_loc=ylen_loc):
+                s, start, y_start = xs
+                idt = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+                s = s.astype(idt)
+                y0 = (y_start + di * ylen_loc).astype(idt)
+                logp, _, _, _, unrel = _block_scores(
+                    kind, use_pallas, data_args, s, start, y0, tile_sz,
+                    ylen_loc, L, p, nz, hps, n_obs_min, reliable, max_df)
+                # materialize logp ONCE: without the barrier XLA fuses (and
+                # so re-evaluates) the whole transcendental logp chain into
+                # every per-edge reduction -- ~50x the epilogue cost and a
+                # compile-time blowup
+                logp = lax.optimization_barrier(logp)
+                cnt = (logp.ravel()[:, None] < edges[None, :]).sum(axis=0)
+                cnt = jnp.concatenate([cnt.astype(jnp.int32),
+                                       unrel.astype(jnp.int32)[None]])
+                return carry, cnt
 
-@partial(jax.jit, static_argnames=("K", "fdr", "reliable"))
-def _bh_extract_device(logp, stat, unrel, n_pairs, alpha, K, fdr, reliable):
-    """One-shot device BH + significant-candidate extraction.
+            _, c_g = lax.scan(step_fn, 0, (s_a, st_a, ys_a))
+            rows.append(c_g)
+        return jnp.concatenate(rows)
 
-    BH is restricted to the p < alpha candidate set, compacted to K slots.
-    Exact: the BH threshold never exceeds alpha (k*alpha/m <= alpha), so
-    entries with p >= alpha can never be significant, and because every
-    excluded entry sorts after every candidate, candidate ranks in the
-    compacted sort equal their global ranks.  This is the device analogue of
-    the reference's accelerated pre-filtering BH (src/statfuns.jl:326-334);
-    it replaces an O(n_pairs) argsort with an O(n_pairs) compaction plus an
-    O(K log K) sort (n_pairs ~ 6e7, K ~ 1e6 at alpha=0.01).
-
-    Everything the host needs ships as TWO arrays -- over the tunneled chip
-    each fetch costs ~100 ms of latency, so m (from the unreliable-test
-    counts), the candidate count, and the (index, log-padj, stat) triple are
-    all computed here and packed:
-      packed  (3, K) int: [flat index, bitcast log-padj, bitcast stat] sorted
-      scalars (2,)   int: [n_sig, k_cand]  (k_cand > K -> host retries)"""
-    N = logp.shape[0]
-    dtype = logp.dtype
-    it = jnp.int64 if dtype == jnp.float64 else jnp.int32
-    m = jnp.asarray(n_pairs, dtype)
-    if reliable:
-        m = m - unrel.sum().astype(dtype)
-    la = jnp.log(alpha)
-    mask = logp < la
-    k_cand = mask.sum().astype(it)
-    idx = jnp.nonzero(mask, size=K, fill_value=N)[0]
-    valid = idx < N
-    safe = jnp.where(valid, idx, 0)
-    vals = jnp.where(valid, jnp.take(logp, safe), jnp.inf)
-    order, ladj, n_sig = _bh_prefix_device(vals, m, alpha, fdr)
-    flat = jnp.take(idx, order).astype(it)
-    stat_sorted = jnp.take(stat, jnp.where(flat < N, flat, 0))
-    packed = jnp.stack([
-        flat,
-        lax.bitcast_convert_type(ladj.astype(dtype), it),
-        lax.bitcast_convert_type(stat_sorted.astype(dtype), it),
-    ])
-    return packed, jnp.stack([n_sig.astype(it), k_cand])
+    if mesh is None:
+        return jax.jit(body)
+    return jax.jit(jax.shard_map(body, mesh=mesh,
+                                 in_specs=(P(),) * (n_data + 1),
+                                 out_specs=P("d"), check_vma=False))
 
 
-def _cand_bucket(k: int, N: int) -> int:
-    """Pad the candidate count to a power of two to bound the jit cache."""
-    K = 1 << max(int(k).bit_length(), 14)
-    return min(K, N)
+@lru_cache(maxsize=8)
+def _passB_fn(mesh, kind, use_pallas, groups, caps, tile_sz, L, p, nz, hps,
+              n_obs_min, reliable, max_df, fdr, n_data):
+    """Extraction sweep + in-program global BH.
+
+    Each block compacts its logp < e* candidates into an exactly-sized
+    buffer (cap per group, from pass A's counts): chunk-occupancy sort
+    selects the candidate-bearing 128-wide chunks, a second sort over the
+    gathered chunks orders the candidates by p.  All blocks' candidates are
+    then globally sorted and log-space BH runs over them -- candidate ranks
+    equal all-pairs ranks because every excluded pair has p >= e*.  Returns
+      packed  (4, M) int: [X, Y, bitcast log-padj, bitcast stat], p-sorted
+      scalars (2,)   int: [n_sig, overflow]  (overflow: a block recounted
+              more candidates than pass A -- impossible unless XLA rounds
+              the two passes differently; host retries with larger caps)
+      recount (nsteps,) i32 per-block candidate recounts (diagnostics)
+    """
+    CH = 128
+
+    def body(*args):
+        data_args = args[:n_data]
+        thresh, la, m = args[n_data:]
+        dtype = thresh.dtype
+        it = jnp.int64 if dtype == jnp.float64 else jnp.int32
+        di = lax.axis_index("d") if mesh is not None else 0
+        Xs, Ys, lps, sts, recounts = [], [], [], [], []
+        for (ylen_loc, steps), cap in zip(groups, caps):
+            s_a = jnp.asarray([st[0] for st in steps], jnp.int32)
+            st_a = jnp.asarray([st[1] for st in steps], jnp.int32)
+            ys_a = jnp.asarray([st[2] for st in steps], jnp.int32)
+            E = tile_sz * ylen_loc
+            nchunk = -(-E // CH)
+            ncap = min(cap, nchunk)          # chunk-selection slots
+            ocap = min(cap, nchunk * CH)     # candidate output slots
+
+            def step_fn(carry, xs, ylen_loc=ylen_loc, nchunk=nchunk,
+                        ncap=ncap, ocap=ocap, E=E):
+                s, start, y_start = xs
+                idt = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+                s = s.astype(idt)
+                y0 = (y_start + di * ylen_loc).astype(idt)
+                logp, stat, X, Y, _ = _block_scores(
+                    kind, use_pallas, data_args, s, start, y0, tile_sz,
+                    ylen_loc, L, p, nz, hps, n_obs_min, reliable, max_df)
+                logp, stat = lax.optimization_barrier((logp, stat))
+                lp = logp.ravel()
+                stf = stat.ravel().astype(dtype)
+                Xf = X.ravel()
+                Yf = Y.ravel()
+                pad = nchunk * CH - E
+                if pad:
+                    lp = jnp.concatenate(
+                        [lp, jnp.full((pad,), jnp.inf, lp.dtype)])
+                    stf = jnp.concatenate([stf, jnp.zeros((pad,), dtype)])
+                    Xf = jnp.concatenate([Xf, jnp.zeros((pad,), Xf.dtype)])
+                    Yf = jnp.concatenate([Yf, jnp.zeros((pad,), Yf.dtype)])
+                mask = lp < thresh
+                recount = mask.sum().astype(jnp.int32)
+                if ocap == 0:
+                    return carry, recount
+                # two-level compaction via sized nonzero: candidates arrive
+                # UNSORTED (only the final global argsort orders them) --
+                # jnp.sort/argsort here would cost ~26 s of XLA compile EACH
+                # on the tunneled toolchain, nonzero compiles in ~1 s and
+                # runs over only (nchunk,) + (ncap*CH,) elements
+                cc = mask.reshape(nchunk, CH).sum(axis=1)
+                chunk_sel = jnp.nonzero(cc > 0, size=ncap,
+                                        fill_value=nchunk)[0]
+                csafe = jnp.where(chunk_sel < nchunk, chunk_sel, 0)
+                live = (chunk_sel < nchunk)[:, None]
+                glp = jnp.where(live, lp.reshape(nchunk, CH)[csafe], jnp.inf)
+                gmask = glp < thresh
+                sel = jnp.nonzero(gmask.ravel(), size=ocap,
+                                  fill_value=ncap * CH)[0]
+                ssafe = jnp.where(sel < ncap * CH, sel, 0)
+                cl = jnp.where(sel < ncap * CH,
+                               jnp.take(glp.ravel(), ssafe), jnp.inf)
+                flat = csafe[ssafe // CH] * CH + (ssafe % CH).astype(jnp.int32)
+                return carry, (recount, jnp.take(Xf, flat),
+                               jnp.take(Yf, flat), cl, jnp.take(stf, flat))
+
+            if min(cap, nchunk * CH) == 0:
+                _, rc_g = lax.scan(step_fn, 0, (s_a, st_a, ys_a))
+            else:
+                _, (rc_g, cx_g, cy_g, cl_g, cs_g) = lax.scan(
+                    step_fn, 0, (s_a, st_a, ys_a))
+                Xs.append(cx_g.ravel())
+                Ys.append(cy_g.ravel())
+                lps.append(cl_g.ravel())
+                sts.append(cs_g.ravel())
+            recounts.append(rc_g)
+        recount = jnp.concatenate(recounts)
+        X_all = jnp.concatenate(Xs)
+        Y_all = jnp.concatenate(Ys)
+        lp_all = jnp.concatenate(lps)
+        st_all = jnp.concatenate(sts)
+        if mesh is not None:
+            X_all = lax.all_gather(X_all, "d", tiled=True)
+            Y_all = lax.all_gather(Y_all, "d", tiled=True)
+            lp_all = lax.all_gather(lp_all, "d", tiled=True)
+            st_all = lax.all_gather(st_all, "d", tiled=True)
+        order = jnp.argsort(lp_all)
+        slog = jnp.take(lp_all, order)
+        Xs_ = jnp.take(X_all, order)
+        Ys_ = jnp.take(Y_all, order)
+        sts_ = jnp.take(st_all, order)
+        if fdr:
+            M = slog.shape[0]
+            ranks = jnp.arange(1, M + 1, dtype=slog.dtype)
+            terms = jnp.where(slog < la, slog + jnp.log(m) - jnp.log(ranks),
+                              jnp.inf)
+            ladj = jnp.minimum(lax.cummin(terms, reverse=True), 0.0)
+        else:
+            ladj = slog
+        n_sig = (ladj < la).sum()
+        # per-group capacity check against the recount (deterministic
+        # recompute; a mismatch can only come from cross-program rounding)
+        caps_by_step = jnp.concatenate([
+            jnp.full(len(steps), min(cap, -(-tile_sz * yl // CH) * CH),
+                     jnp.int32)
+            for (yl, steps), cap in zip(groups, caps)
+        ])
+        overflow = (recount > caps_by_step).any()
+        if mesh is not None:
+            overflow = lax.psum(overflow.astype(jnp.int32), "d") > 0
+        packed = jnp.stack([
+            Xs_.astype(it), Ys_.astype(it),
+            lax.bitcast_convert_type(ladj.astype(dtype), it),
+            lax.bitcast_convert_type(sts_.astype(dtype), it),
+        ])
+        scal = jnp.stack([n_sig.astype(it), overflow.astype(it)])
+        return packed, scal, recount
+
+    if mesh is None:
+        return jax.jit(body)
+    return jax.jit(jax.shard_map(body, mesh=mesh,
+                                 in_specs=(P(),) * (n_data + 3),
+                                 out_specs=(P(), P(), P("d")),
+                                 check_vma=False))
 
 
-def _extract_significant(logp_parts, stat_parts, blocks, p, n_pairs, alpha,
-                         FDR, unrel_parts=None, reliable=False):
-    """Run device BH over the concatenated block slabs and pull only the
-    significant pairs.  blocks: list of (offset, s, y_start, ylen)."""
-    logp = jnp.concatenate(logp_parts)
-    stat = jnp.concatenate(stat_parts)
-    dtype = logp.dtype
-    N = logp.shape[0]
-    if N >= 2 ** 31:
-        raise NotImplementedError(
-            "univariate extraction beyond 2^31 covered pairs needs a "
-            "partitioned BH pass"
+def _extract_scan(kind, data_args, mesh, use_pallas, p_int, tile_sz, slab, p,
+                  n_pairs, alpha, FDR, reliable, L=0, nz=False, hps=0.0,
+                  n_obs_min=0.0, max_df=0):
+    """Host driver of the two-pass extraction; returns the neighbor dicts of
+    BH-significant pairs (the fast-path result of pw_univar_neighbors)."""
+    ndev = 1 if mesh is None else mesh.devices.size
+    groups = _scan_groups(p_int, tile_sz, slab, ndev)
+    group_sizes = [len(g[1]) for g in groups]
+    nsteps = sum(group_sizes)
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    edges = _extract_edges(alpha, n_pairs)
+    kw = dict(L=L, nz=nz, hps=float(hps), n_obs_min=float(n_obs_min))
+    fA = _passA_fn(mesh, kind, use_pallas, groups, tile_sz, kw["L"], p,
+                   kw["nz"], kw["hps"], kw["n_obs_min"], bool(reliable),
+                   max_df, len(data_args))
+    tbl = np.asarray(fA(*data_args, jnp.asarray(edges, dtype))).astype(
+        np.int64)                                   # (ndev*nsteps, nbins+1)
+    cnts = tbl[:, :N_EXTRACT_BINS]
+    unrel_tot = int(tbl[:, N_EXTRACT_BINS].sum())
+    m = n_pairs - (unrel_tot if reliable else 0)
+    tot = cnts.sum(axis=0)
+    b_hat = _select_bin(tot, m, alpha, edges) if FDR else 0
+    K = int(tot[b_hat])
+    if K == 0:
+        return {i: {} for i in range(p)}
+    if K > EXTRACT_BUDGET:
+        raise RuntimeError(
+            f"{K} sub-threshold univariate pairs exceed the device "
+            f"extraction budget ({EXTRACT_BUDGET}); the network is "
+            "pathologically dense at this scale -- raise alpha, enable FDR, "
+            "or use the host path (return_result=True)"
         )
-    unrel = (jnp.stack([jnp.asarray(u) for u in unrel_parts])
-             if reliable and unrel_parts else jnp.zeros(1, dtype))
-    K = min(1 << 20, N)
-    while True:
-        packed, scalars = _bh_extract_device(
-            logp, stat, unrel, float(n_pairs), jnp.asarray(alpha, dtype),
-            K, FDR, bool(reliable and unrel_parts is not None),
-        )
-        sc = np.asarray(scalars)
-        n_sig, k_cand = int(sc[0]), int(sc[1])
-        if k_cand <= K or K >= N:
+    # per-group caps: exact per-(device, block) candidate counts at e*
+    step_counts = cnts[:, b_hat].reshape(ndev, nsteps)
+    offs = np.cumsum([0] + group_sizes)
+    caps = []
+    for gi in range(len(groups)):
+        c = int(step_counts[:, offs[gi]:offs[gi + 1]].max(initial=0))
+        caps.append(0 if c == 0 else max(64, 1 << (c - 1).bit_length()))
+    for _ in range(3):
+        fB = _passB_fn(mesh, kind, use_pallas, groups, tuple(caps), tile_sz,
+                       kw["L"], p, kw["nz"], kw["hps"], kw["n_obs_min"],
+                       bool(reliable), max_df, bool(FDR), len(data_args))
+        packed, scal, recount = fB(
+            *data_args, jnp.asarray(edges[b_hat], dtype),
+            jnp.asarray(math.log(alpha), dtype), jnp.asarray(float(m), dtype))
+        sc = np.asarray(scal)
+        n_sig = int(sc[0])
+        if not int(sc[1]):
             break
-        K = _cand_bucket(k_cand, N)  # rare: >1M sub-alpha pairs, retry bigger
+        rc = np.asarray(recount).reshape(ndev, nsteps)
+        warnings.warn(
+            "univariate extraction recount exceeded pass-A capacity "
+            "(cross-program rounding divergence?); retrying with larger caps"
+        )
+        caps = []
+        for gi in range(len(groups)):
+            c = int(rc[:, offs[gi]:offs[gi + 1]].max(initial=0))
+            caps.append(0 if c == 0 else max(64, 1 << c.bit_length()))
     # fetch a pow2-padded prefix: ONE transfer, bounded compiled slice shapes
-    ns_pad = min(max(1 << max(int(n_sig).bit_length(), 10), n_sig), K)
+    M_tot = int(packed.shape[1])
+    ns_pad = min(max(1 << max(int(n_sig).bit_length(), 10), n_sig), M_tot)
     buf = np.asarray(packed[:, :ns_pad])[:, :n_sig]
     ft = np.float64 if buf.dtype == np.int64 else np.float32
-    flat_idx = buf[0].astype(np.int64)
-    pvals_sig = np.exp(buf[1].view(ft).astype(np.float64))
-    stats_sig = buf[2].view(ft).astype(np.float64)
-    # flat position -> (X, Y) via the per-block slab geometry
-    offsets = np.array([b[0] for b in blocks], dtype=np.int64)
-    bi = np.searchsorted(offsets, flat_idx, side="right") - 1
-    local = flat_idx - offsets[bi]
-    s_arr = np.array([b[1] for b in blocks], dtype=np.int64)
-    ys_arr = np.array([b[2] for b in blocks], dtype=np.int64)
-    ylen_arr = np.array([b[3] for b in blocks], dtype=np.int64)
-    X = s_arr[bi] + local // ylen_arr[bi]
-    Y = ys_arr[bi] + local % ylen_arr[bi]
+    pvals_sig = np.exp(buf[2].view(ft).astype(np.float64))
+    stats_sig = buf[3].view(ft).astype(np.float64)
     nbr = {i: {} for i in range(p)}
-    for x, y, st, pv in zip(X, Y, stats_sig, pvals_sig):
+    for x, y, st, pv in zip(buf[0], buf[1], stats_sig, pvals_sig):
         entry = (float(st), float(pv))
         nbr[int(x)][int(y)] = entry
         nbr[int(y)][int(x)] = entry
@@ -841,27 +899,16 @@ def pw_univar_neighbors(
             mesh_args = ((data_jT, data_j, marg, lvl_j, mv_j) if use_pallas
                          else (data_j, lvl_j, mv_j))
         if device_extract:
-            # single-dispatch sweep: all block kernels + flattens in ONE
-            # device execution, then one BH-extraction call
             if mesh is not None:
-                geom, blk_meta = _sweep_geom(p_int, tile_sz, slab, ndev)
-                fn = _mesh_mi_sweep_fn(
-                    mesh, use_pallas, geom, tile_sz, L, p, nz, float(hps),
-                    float(n_obs_min), correct_reliable_only, (L - 1) ** 2,
-                )
-                lp, stf, unrel = fn(*mesh_args)
+                data_args = mesh_args
             else:
-                geom, blk_meta = _sweep_geom(p_int, tile_sz, slab)
-                fn = _sweep_mi_pallas_fn(
-                    geom, tile_sz, L, p, nz, float(hps), float(n_obs_min),
-                    correct_reliable_only, (L - 1) ** 2,
-                )
-                lp, stf, unrel = fn(data_jT, data_j, marg,
-                                    jnp.asarray(levels_np),
-                                    jnp.asarray(maxv_np))
-            return _extract_significant(
-                [lp], [stf], blk_meta, p, n_pairs, alpha, FDR,
-                unrel_parts=[unrel], reliable=correct_reliable_only,
+                data_args = (data_jT, data_j, marg, jnp.asarray(levels_np),
+                             jnp.asarray(maxv_np))
+            return _extract_scan(
+                "mi", data_args, mesh, use_pallas, p_int, tile_sz, slab, p,
+                n_pairs, alpha, FDR, correct_reliable_only, L=L, nz=nz,
+                hps=float(hps), n_obs_min=float(n_obs_min),
+                max_df=(L - 1) ** 2,
             )
         for start in range(0, p_int, tile_sz):
             t = min(tile_sz, p_int - start)
@@ -873,9 +920,8 @@ def pw_univar_neighbors(
             if mesh is not None:
                 ylen_loc = y_len // ndev
                 fn = _mesh_mi_block_fn(
-                    mesh, use_pallas, False, tile_sz, L, ylen_loc,
-                    p, nz, float(hps), float(n_obs_min),
-                    correct_reliable_only, (L - 1) ** 2,
+                    mesh, use_pallas, tile_sz, L, ylen_loc, nz, float(hps),
+                    float(n_obs_min),
                 )
                 stat, df, n_obs, sp = fn(*mesh_args, idx_dt(s), idx_dt(start),
                                          idx_dt(y_start))
@@ -907,33 +953,20 @@ def pw_univar_neighbors(
         device_extract = ((jax.default_backend() == "tpu" or FORCE_PALLAS
                            or mesh is not None)
                           and not return_result and not have_cor)
-        suff_run = bool(n >= n_obs_min)
-        if device_extract and mesh is not None:
-            ploc = p_int // ndev
-            fn = _mesh_fz_fn(mesh, True, ploc, p, suff_run,
-                             correct_reliable_only)
-            lp, stf, unrel = fn(_put(data))
-            blocks = [(dd * p_int * ploc, 0, dd * ploc, ploc)
-                      for dd in range(ndev)]
-            return _extract_significant(
-                [lp], [stf], blocks, p, n_pairs, alpha, FDR,
-                unrel_parts=[unrel], reliable=correct_reliable_only,
-            )
         if device_extract:
-            Cd = cor_matrix(_put(data))
-            lp, stf, unrel = _flatten_fz_full(
-                Cd, n, p, suff_run, correct_reliable_only
-            )
-            return _extract_significant(
-                [lp], [stf], [(0, 0, 0, p)], p, n_pairs, alpha, FDR,
-                unrel_parts=[unrel], reliable=correct_reliable_only,
+            # blocked correlation sweep: never materializes the p x p matrix
+            xc, ssd = _fz_center(_put(data))
+            slab = _y_slabs(p_int, tile_sz, triangle=True)
+            return _extract_scan(
+                "fz", (xc, ssd), mesh, False, p_int, tile_sz, slab, p,
+                n_pairs, alpha, FDR, correct_reliable_only,
+                n_obs_min=float(n_obs_min),
             )
         if have_cor:
             C = np.asarray(cor_mat, dtype=np.float64)[:p, :p]
         elif mesh is not None:
             ploc = p_int // ndev
-            fn = _mesh_fz_fn(mesh, False, ploc, p, suff_run,
-                             correct_reliable_only)
+            fn = _mesh_fz_fn(mesh, ploc)
             C = np.asarray(fn(_put(data)), dtype=np.float64)[:p, :p]
         else:
             C = np.asarray(cor_matrix(_put(data)), dtype=np.float64)[:p, :p]
@@ -951,23 +984,10 @@ def pw_univar_neighbors(
         device_extract = (use_pallas or mesh is not None) and not return_result
         slab = _y_slabs(p_int, tile_sz, triangle=True)
         if device_extract:
-            # single-dispatch sweep (see the mi branch above)
-            if mesh is not None:
-                geom, blk_meta = _sweep_geom(p_int, tile_sz, slab, ndev)
-                fn = _mesh_fznz_sweep_fn(
-                    mesh, use_pallas, geom, tile_sz, p, float(n_obs_min),
-                    correct_reliable_only,
-                )
-            else:
-                geom, blk_meta = _sweep_geom(p_int, tile_sz, slab)
-                fn = _sweep_fznz_fn(
-                    geom, tile_sz, p, float(n_obs_min),
-                    correct_reliable_only, use_pallas,
-                )
-            lp, stf, unrel = fn(data_j)
-            return _extract_significant(
-                [lp], [stf], blk_meta, p, n_pairs, alpha, FDR,
-                unrel_parts=[unrel], reliable=correct_reliable_only,
+            return _extract_scan(
+                "fznz", (data_j,), mesh, use_pallas, p_int, tile_sz, slab,
+                p, n_pairs, alpha, FDR, correct_reliable_only,
+                n_obs_min=float(n_obs_min),
             )
         for start in range(0, p_int, tile_sz):
             t = min(tile_sz, p_int - start)
@@ -975,10 +995,7 @@ def pw_univar_neighbors(
             y_start, y_len = slab(s)
             if mesh is not None:
                 ylen_loc = y_len // ndev
-                fn = _mesh_fznz_block_fn(
-                    mesh, use_pallas, False, tile_sz, ylen_loc, p,
-                    float(n_obs_min), correct_reliable_only,
-                )
+                fn = _mesh_fznz_block_fn(mesh, use_pallas, tile_sz, ylen_loc)
                 r, N = fn(data_j, idx_dt(s), idx_dt(start), idx_dt(y_start))
             elif use_pallas:
                 from .pallas_kernels import fz_nz_block_pallas
