@@ -198,6 +198,127 @@ def _combo_chunks(a: int, max_k: int):
             yield pos, np.full(nc, k, np.int32)
 
 
+class _ChunkScan:
+    """Host-side early-exit / weakest-significant bookkeeping over evaluated
+    subset chunks -- the response-processing half of the subset search,
+    shared by the chunked generator path and the speculative-window consumer
+    (semantics of the reference's sequential loop, src/tests.jl:311-343)."""
+
+    __slots__ = ("cfg", "T", "cand", "total", "num_tests", "low_m", "low_ref")
+
+    def __init__(self, cfg: HitonConfig, T: int, cand: int, a: int):
+        self.cfg = cfg
+        self.T = T
+        self.cand = cand
+        self.total = _subset_total(a, cfg.max_k)
+        self.num_tests = 0
+        self.low_m = 0.0
+        self.low_ref = None
+
+    def consume(self, got, Zarr, kvec):
+        """Scan one evaluated chunk in enumeration order.  ``got`` is either
+        the scheduler 5-tuple (stat, df, n_obs, suff, digest) or a plain
+        (stat, pval, df, suff).  Returns the (res, Zs) exit pair if the
+        candidate's decision is final, else None."""
+        cfg = self.cfg
+        digest = None
+        nobs_a = None
+        pval_a = None
+        if len(got) == 5:
+            stat_a, df_a, nobs_a, suff_a, digest = got
+        else:
+            stat_a, pval_a, df_a, suff_a = got
+        B = len(kvec)
+
+        # fast path: the scheduler precomputed this request's early-exit /
+        # weakest digest (same float64 semantics, one vectorized pass over
+        # the whole mega-batch); only a possible max_tests cutoff inside
+        # this chunk forces the local scan
+        if digest is not None and not (
+            0 < cfg.max_tests <= self.num_tests + B
+        ):
+            e, w, maxp, exit_pv = digest
+            if w >= 0:
+                m = float(maxp)
+                if m >= self.low_m or math.isnan(self.low_m):
+                    self.low_m = m
+                    self.low_ref = (None, m, stat_a, df_a, suff_a, Zarr,
+                                    kvec, w)
+            if e >= 0:
+                self.num_tests += e + 1
+                res = TestResult(stat_a.item(e), float(exit_pv),
+                                 int(df_a.item(e)), bool(suff_a.item(e)))
+                return res, tuple(Zarr[e, : kvec.item(e)].tolist())
+            self.num_tests += B
+            return None
+        if pval_a is None:
+            # digest skipped (max_tests budget falls inside this chunk, or a
+            # non-digest dispatcher): full p-value semantics of
+            # condtests.mi_tests_finish, computed consumer-side
+            from ..ops import statfuns as sf
+
+            pval_a = np.where(suff_a, sf.mi_pval(stat_a, df_a, nobs_a), 1.0)
+
+        # vectorized early-exit scan in enumeration order; NaN pvals compare
+        # False like the reference's issig (src/tests.jl:1-3)
+        sig = (pval_a < cfg.alpha) & suff_a
+        exit_flags = ~sig
+        if cfg.max_tests > 0:
+            exit_flags |= (self.num_tests + 1 + np.arange(B)) >= cfg.max_tests
+
+        def upd_lowest(upto):
+            if upto == 0:
+                return
+            # argmax over the reversed view finds the LAST max occurrence --
+            # one numpy call resolves both the max and the reference's
+            # sequential >= tie-break (NaNs propagate to m and compare False,
+            # exactly like the running max)
+            i = upto - 1 - int(np.argmax(pval_a[upto - 1 :: -1]))
+            m = float(pval_a[i])
+            if m >= self.low_m or math.isnan(self.low_m):
+                self.low_m = m
+                self.low_ref = (stat_a, pval_a, df_a, suff_a, Zarr, kvec, i)
+
+        if exit_flags.any():
+            e = int(np.argmax(exit_flags))
+            upd_lowest(e)
+            self.num_tests += e + 1
+            res = TestResult(stat_a.item(e), pval_a.item(e),
+                             int(df_a.item(e)), bool(suff_a.item(e)))
+            if 0 < cfg.max_tests <= self.num_tests:
+                frac = self.num_tests / self.total
+                warnings.warn(
+                    f"Maximum number of tests for variable pair {self.T} / "
+                    f"{self.cand} at {self.num_tests} out of {self.total} "
+                    f"tests (fraction: {round(frac, 3)})."
+                )
+            return res, tuple(Zarr[e, : kvec.item(e)].tolist())
+        upd_lowest(B)
+        self.num_tests += B
+        return None
+
+    def finish(self):
+        lowest, lowest_Zs = _materialize_lowest(self.low_m, self.low_ref)
+        return lowest, lowest_Zs, self.num_tests, self.num_tests / self.total
+
+
+def _fznz_subset_stats(engine, pos, Zarr, kvec, mcor, mcor_nobs,
+                       nz_positions):
+    """Partial-correlation stats of one subset chunk from a (masked)
+    correlation matrix (reference: src/tests.jl:293-307 + pcor recursion)."""
+    B = len(kvec)
+    if nz_positions:
+        # mcor is over [T, cand, Z_total...]: position of Z_total[i] is
+        # i + 2, so the position template maps directly
+        pos_X = np.zeros(B, np.int64)
+        pos_Y = np.ones(B, np.int64)
+        pos_Z = (pos + 2).astype(np.int64)
+    else:
+        raise AssertionError("global-cor path uses engine positions")
+    return engine.fz_tests_from_cor_raw(mcor, pos_X, pos_Y, pos_Z, kvec,
+                                        mcor_nobs)
+
+
 def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
                      cfg: HitonConfig, engine):
     """Generator evaluating conditioning subsets of Z_total, largest first,
@@ -211,13 +332,6 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
     (test_result, lowest_sig_Zs, num_tests, frac_tests)."""
     if not Z_total:
         return TestResult(NAN, NAN, -1, True), (-1,), -1, NAN
-
-    # weakest-significant ("lowest") tracking is kept as a REFERENCE into the
-    # already-fetched result arrays and materialized once on return -- per-
-    # chunk TestResult/tuple construction dominated large runs
-    low_m = 0.0
-    low_ref = None
-    num_tests = 0
 
     mcor = None
     mcor_nobs = None
@@ -233,7 +347,7 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
             else:
                 mcor_nobs = engine.nz_pair_count(T, cand)
             if cfg.n_obs_min > mcor_nobs:
-                return TestResult(0.0, 1.0, 0, False), (), num_tests, 0.0
+                return TestResult(0.0, 1.0, 0, False), (), 0, 0.0
         else:
             mcor = engine.cor_mat
             mcor_nobs = engine.n
@@ -241,118 +355,65 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
     a = len(Z_total)
     max_k = cfg.max_k
     Z_np = np.asarray(Z_total, dtype=np.int32)
-    num_tests_total = _subset_total(a, max_k)
+    scan = _ChunkScan(cfg, T, cand, a)
 
     for pos, kvec in _combo_chunks(a, max_k):
         B = len(kvec)
         Zarr = Z_np[pos]  # padded pos 0 -> a real column; kvec masks it
-        digest = None
-        nobs_a = None
         if cfg.discrete:
             got = yield ("mi", T, cand, Zarr, kvec)
-            if len(got) == 5:
-                # scheduler fast path: p-values deferred (stat, df, n_obs,
-                # suff, digest); exact pvals live in the digest
-                stat_a, df_a, nobs_a, suff_a, digest = got
-                pval_a = None
-            else:
-                stat_a, pval_a, df_a, suff_a = got
         elif not engine.recursive_pcor:
             subsets = [tuple(Zarr[i, :kvec[i]]) for i in range(B)]
             results = engine.fz_tests_iterative(T, cand, subsets)
-            stat_a = np.array([r.stat for r in results])
-            pval_a = np.array([r.pval for r in results])
-            df_a = np.array([r.df for r in results], dtype=np.int64)
-            suff_a = np.array([r.suff_power for r in results])
+            got = (np.array([r.stat for r in results]),
+                   np.array([r.pval for r in results]),
+                   np.array([r.df for r in results], dtype=np.int64),
+                   np.array([r.suff_power for r in results]))
+        elif nz_positions:
+            got = _fznz_subset_stats(engine, pos, Zarr, kvec, mcor,
+                                     mcor_nobs, nz_positions)
         else:
-            if nz_positions:
-                # mcor is over [T, cand, Z_total...]: position of Z_total[i]
-                # is i + 2, so the position template maps directly
-                pos_X = np.zeros(B, np.int64)
-                pos_Y = np.ones(B, np.int64)
-                pos_Z = (pos + 2).astype(np.int64)
-            else:
-                pos_X = np.full(B, T, np.int64)
-                pos_Y = np.full(B, cand, np.int64)
-                pos_Z = Zarr
-            stat_a, pval_a, df_a, suff_a = engine.fz_tests_from_cor_raw(
-                mcor, pos_X, pos_Y, pos_Z, kvec, mcor_nobs
+            pos_X = np.full(B, T, np.int64)
+            pos_Y = np.full(B, cand, np.int64)
+            got = engine.fz_tests_from_cor_raw(
+                mcor, pos_X, pos_Y, Zarr.astype(np.int64), kvec, mcor_nobs
             )
+        hit = scan.consume(got, Zarr, kvec)
+        if hit is not None:
+            res, Zs = hit
+            return res, Zs, scan.num_tests, scan.num_tests / scan.total
 
-        # fast path: the scheduler precomputed this request's early-exit /
-        # weakest digest (same float64 semantics, one vectorized pass over
-        # the whole mega-batch); only a possible max_tests cutoff inside
-        # this chunk forces the local scan
-        if digest is not None and not (0 < cfg.max_tests <= num_tests + B):
-            e, w, maxp, exit_pv = digest
-            if w >= 0:
-                m = float(maxp)
-                if m >= low_m or math.isnan(low_m):
-                    low_m = m
-                    low_ref = (None, m, stat_a, df_a, suff_a, Zarr, kvec, w)
-            if e >= 0:
-                num_tests += e + 1
-                res = TestResult(stat_a.item(e), float(exit_pv),
-                                 int(df_a.item(e)), bool(suff_a.item(e)))
-                return (res, tuple(Zarr[e, : kvec.item(e)].tolist()),
-                        num_tests, num_tests / num_tests_total)
-            num_tests += B
-            continue
-        if pval_a is None:
-            # digest skipped (max_tests budget falls inside this chunk, or a
-            # non-digest dispatcher): full p-value semantics of
-            # condtests._finish_packed, computed generator-side
-            from ..ops import statfuns as sf
-
-            pval_a = np.where(suff_a, sf.mi_pval(stat_a, df_a, nobs_a), 1.0)
-
-        # vectorized early-exit scan in enumeration order (semantics of
-        # the sequential loop, reference src/tests.jl:311-343); NaN pvals
-        # compare False like the reference's issig (src/tests.jl:1-3)
-        sig = (pval_a < cfg.alpha) & suff_a
-        exit_flags = ~sig
-        if cfg.max_tests > 0:
-            exit_flags |= (num_tests + 1 + np.arange(B)) >= cfg.max_tests
-
-        def upd_lowest(upto):
-            nonlocal low_m, low_ref
-            if upto == 0:
-                return
-            # argmax over the reversed view finds the LAST max occurrence --
-            # one numpy call resolves both the max and the reference's
-            # sequential >= tie-break (NaNs propagate to m and compare False,
-            # exactly like the running max)
-            i = upto - 1 - int(np.argmax(pval_a[upto - 1 :: -1]))
-            m = float(pval_a[i])
-            if m >= low_m or math.isnan(low_m):
-                low_m = m
-                low_ref = (stat_a, pval_a, df_a, suff_a, Zarr, kvec, i)
-
-        if exit_flags.any():
-            e = int(np.argmax(exit_flags))
-            upd_lowest(e)
-            num_tests += e + 1
-            res = TestResult(stat_a.item(e), pval_a.item(e),
-                             int(df_a.item(e)), bool(suff_a.item(e)))
-            frac = num_tests / num_tests_total
-            if 0 < cfg.max_tests <= num_tests:
-                warnings.warn(
-                    f"Maximum number of tests for variable pair {T} / "
-                    f"{cand} at {num_tests} out of {num_tests_total} "
-                    f"tests (fraction: {round(frac, 3)}, size of Z: "
-                    f"{len(Z_total)})."
-                )
-            return res, tuple(Zarr[e, : kvec.item(e)].tolist()), num_tests, frac
-        upd_lowest(B)
-        num_tests += B
-
-    lowest, lowest_Zs = _materialize_lowest(low_m, low_ref)
-    return lowest, lowest_Zs, num_tests, num_tests / num_tests_total
+    return scan.finish()
 
 
 # ---------------------------------------------------------------------------
 # phase backend (reference: src/hiton.jl:109-149)
 # ---------------------------------------------------------------------------
+
+# max candidates whose subset batches ride one speculative window
+SPEC_WINDOW_MAX = 32
+
+
+def _decide(cfg: HitonConfig, phase: str, cand: int, res, lowest_Zs,
+            num_tests, frac, accepted, accepted_dict, support_dict,
+            rej_dict) -> None:
+    """update_sig_result! (reference: src/hiton.jl:53-78)."""
+    if not accepted:
+        accepted.append(cand)
+        accepted_dict[cand] = support_dict[cand]
+    elif issig(res, cfg.alpha):
+        accepted.append(cand)
+        accepted_dict[cand] = (res.stat, res.pval)
+        if cfg.debug > 0:
+            print(f"\taccepted: {res}")
+    else:
+        if cfg.debug > 0:
+            print(f"\trejected: {res} through Z {lowest_Zs}")
+        if phase == "E" and not cfg.fast_elim:
+            accepted.append(cand)
+        if cfg.track_rejections:
+            rej_dict[cand] = (lowest_Zs, res, (num_tests, frac))
+
 
 def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
                   phase: str,
@@ -363,7 +424,20 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
                   rej_dict: RejDict,
                   control: SearchControl, clock: JobClock):
     """One HITON phase ('I' interleaving / 'E' elimination).  Returns
-    (accepted_dict, candidates_unchecked)."""
+    (accepted_dict, candidates_unchecked).
+
+    TPU-first divergence (exact semantics preserved): candidates are
+    processed through SPECULATIVE WINDOWS -- the next w candidates' whole
+    subset batches are built against the CURRENT accepted set and dispatched
+    as one device round; responses are consumed strictly in candidate order,
+    and any result whose build-time conditioning list no longer equals the
+    live one (the set mutated: an accept in 'I', any tested candidate in 'E'
+    where remove/re-append reorders the list) is DISCARDED and rebuilt next
+    round.  Because rejections -- the common case -- never mutate the set,
+    most windows consume fully: host generator round-trips and device
+    dispatches shrink ~w-fold while every accept/reject decision, reported
+    statistic, and num_tests count stays identical to the sequential loop
+    (reference: src/hiton.jl:126-147)."""
     if prev_accepted_dict:
         accepted_dict = prev_accepted_dict
         candidates = list(candidates_unchecked)
@@ -371,65 +445,268 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
         accepted_dict = {}
 
     accepted: List[int] = list(candidates) if phase == "E" else []
+    discrete = cfg.discrete
+    spec_able = (not cfg.bnb) and (
+        discrete or (cfg.nz and engine.recursive_pcor and not discrete)
+    )
+    check_clock = cfg.time_limit > 0.0
+    debug = cfg.debug
+    max_k = cfg.max_k
+    spec = 2
+    n_c = len(candidates)
+    ci = 0
+    last_accept = True   # univar-strength-sorted: accept runs come first
+    while ci < n_c:
+        window = min(spec, n_c - ci) if spec_able else 1
+        # -- build: CHAINED speculation.  Each window assumes the last
+        #    observed outcome keeps repeating along the window:
+        #      reject-chain ('I'): all candidates share the unchanged set
+        #                          (one combo template serves the window)
+        #      accept-chain ('I'): candidate k conditioned on set + priors
+        #      accept-chain ('E'): the remove/re-append rotation
+        #      reject-chain ('E'): the set shrinking by each prior (fast_elim)
+        #    Blacklist membership is static (checked here); whitelist
+        #    membership is LIVE (checked at consume; a whitelisted
+        #    candidate's speculative result is just dropped) ---------------
+        mode_accept = last_accept or (phase == "E" and not cfg.fast_elim)
+        cands_w: List[int] = []        # candidates with device requests
+        varlists_w: List[List[int]] = []
+        items = []                     # (cand, Zs_build | None, has_req, legacy)
+        Zarr_parts, kvec_parts = [], []
+        shared = False
+        if (spec_able and phase == "I" and not mode_accept and accepted
+                and _subset_total(len(accepted), max_k) <= SUBSET_CHUNK):
+            # reject-chain interleaving: every candidate in the window
+            # shares the SAME conditioning set -- one template serves all
+            shared = True
+            Zs_shared = list(accepted)
+            pos, kvec = _combo_template(len(Zs_shared), max_k)
+            Zarr = np.asarray(Zs_shared, np.int32)[pos]
+            for cand in candidates[ci : ci + window]:
+                if blacklist and cand in blacklist:
+                    items.append((cand, None, False, False))
+                else:
+                    items.append((cand, Zs_shared, True, False))
+                    cands_w.append(cand)
+                    if not discrete:
+                        varlists_w.append([T, cand] + Zs_shared)
+        else:
+            chain = list(accepted)
+            for cand in candidates[ci : ci + window]:
+                if blacklist and cand in blacklist:
+                    items.append((cand, None, False, False))
+                    continue
+                Zs = ([a for a in chain if a != cand] if phase == "E"
+                      else list(chain))
+                a = len(Zs)
+                if a == 0:
+                    # empty conditioning set auto-accepts DETERMINISTICALLY
+                    # (reference: src/hiton.jl:57-59) -- not speculation
+                    items.append((cand, Zs, False, False))
+                    chain = Zs + [cand]
+                    continue
+                if not spec_able or _subset_total(a, max_k) > SUBSET_CHUNK:
+                    # oversized subset space (or bnb / plain-fz): chunked
+                    # generator path, alone in its window
+                    if not items:
+                        items.append((cand, Zs, False, True))
+                    break
+                pos, kvec = _combo_template(a, max_k)
+                Zarr_parts.append(np.asarray(Zs, np.int32)[pos])
+                kvec_parts.append(kvec)
+                items.append((cand, Zs, True, False))
+                cands_w.append(cand)
+                if not discrete:
+                    varlists_w.append([T, cand] + Zs)
+                if mode_accept:
+                    chain = Zs + [cand]
+                elif phase == "E":
+                    chain = Zs          # assumed fast_elim reject
 
-    for ci, cand in enumerate(candidates):
-        if cfg.debug > 0:
-            print(f"\tTesting candidate {cand} ({ci + 1} out of "
-                  f"{len(candidates)}) conditioned on {accepted}, current set "
-                  f"size: {len(accepted)}")
-        in_list = False
-        # whitelist feed-forward (reference: src/hiton.jl:20-38)
-        if whitelist is not None and cand in whitelist:
-            accepted.append(cand)
-            accepted_dict[cand] = (NAN, NAN)
-            in_list = True
-            if cfg.debug > 0:
-                print("\tin whitelist")
-        if blacklist and cand in blacklist:
-            in_list = True
-            if cfg.debug > 0:
-                print("\tin blacklist")
-
-        if not in_list:
-            if phase == "E":
-                accepted = [a for a in accepted if a != cand]
-            if cfg.bnb:
-                from .bnb import bnb_test_subsets_gen
-
-                res, lowest_Zs, num_tests, frac = yield from bnb_test_subsets_gen(
-                    T, cand, accepted, cfg, engine, cfg.cut_test_branches
-                )
+        got = None
+        if cands_w:
+            if discrete:
+                if shared:
+                    req = ("miwin", T, cands_w, Zarr, kvec,
+                           np.full(len(cands_w), len(kvec), np.int64), True)
+                else:
+                    counts = np.fromiter((len(k) for k in kvec_parts),
+                                         np.int64, count=len(kvec_parts))
+                    req = ("miwin", T, cands_w,
+                           np.concatenate(Zarr_parts),
+                           np.concatenate(kvec_parts), counts, False)
             else:
-                res, lowest_Zs, num_tests, frac = yield from test_subsets_gen(
-                    T, cand, accepted, cfg, engine
-                )
-            # update_sig_result! (reference: src/hiton.jl:53-78)
-            if not accepted:
-                accepted.append(cand)
-                accepted_dict[cand] = support_dict[cand]
-            elif issig(res, cfg.alpha):
-                accepted.append(cand)
-                accepted_dict[cand] = (res.stat, res.pval)
-                if cfg.debug > 0:
-                    print(f"\taccepted: {res}")
-            else:
-                if cfg.debug > 0:
-                    print(f"\trejected: {res} through Z {lowest_Zs}")
-                if phase == "E" and not cfg.fast_elim:
+                req = ("mcorwin", T, [(T, c) for c in cands_w], varlists_w)
+            got = yield req
+
+        # -- superfast consume: discrete window with nothing to record for
+        #    rejected candidates.  The scheduler digest already IS the
+        #    decision (exit_e >= 0 <=> a non-significant subset was found
+        #    <=> rejected; exit_e == -1 <=> every subset significant <=>
+        #    accepted with the weakest result) -- rejected candidates cost
+        #    no per-candidate host work at all.  Validity per candidate:
+        #    its build-time conditioning list must equal the live one ------
+        if (discrete and not cfg.track_rejections and debug == 0 and cands_w
+                and (cfg.max_tests <= 0 or cfg.max_tests > (
+                    len(kvec) if shared
+                    else max(len(k) for k in kvec_parts)))):
+            stat_a = got[0]
+            offs, exit_e, w_loc, maxp = got[4], got[5], got[6], got[7]
+            gi = 0
+            wasted = False
+            for (cand, Zs_build, has_req, _leg) in items:
+                if whitelist is not None and cand in whitelist:
+                    if has_req:
+                        gi += 1
                     accepted.append(cand)
-                if cfg.track_rejections:
-                    rej_dict[cand] = (lowest_Zs, res, (num_tests, frac))
+                    accepted_dict[cand] = (NAN, NAN)
+                    last_accept = True
+                elif Zs_build is not None:
+                    Zs_now = ([x for x in accepted if x != cand]
+                              if phase == "E" else accepted)
+                    if Zs_now != Zs_build:
+                        wasted = True
+                        break
+                    if phase == "E":
+                        accepted = Zs_now
+                    if has_req:
+                        if int(exit_e[gi]) < 0:
+                            w = int(offs[gi]) + int(w_loc[gi])
+                            accepted.append(cand)
+                            accepted_dict[cand] = (float(stat_a[w]),
+                                                   float(maxp[gi]))
+                            last_accept = True
+                        else:
+                            if phase == "E" and not cfg.fast_elim:
+                                accepted.append(cand)
+                            last_accept = False
+                        gi += 1
+                    else:
+                        # empty conditioning set: auto-accept
+                        accepted.append(cand)
+                        accepted_dict[cand] = support_dict[cand]
+                        last_accept = True
+                # else: blacklisted -- nothing to do
+                ci += 1
+                if check_clock and clock.expired() and ci < n_c:
+                    if control.converged:
+                        return accepted_dict, candidates[ci:]
+                    clock.reset()
+            spec = (max(1, spec // 2) if wasted
+                    else min(SPEC_WINDOW_MAX, spec * 2))
+            continue
 
-        # per-job time-limit checkpoint (reference: src/hiton.jl:143-146).
-        # Global convergence only takes effect HERE: a checkpointed job is
-        # frozen instead of resumed (reference: src/interleaved.jl:119-124);
-        # an unconverged checkpoint is requeued and re-enters with a fresh
-        # clock, which is equivalent to resetting the timer and continuing.
-        if clock.expired() and ci < len(candidates) - 1:
-            if control.converged:
-                return accepted_dict, candidates[ci + 1:]
-            clock.reset()
+        # -- consume: strictly in candidate order, discarding stale results -
+        gi = 0
+        wasted = False
+        for (cand, Zs_build, has_req, legacy) in items:
+            if debug > 0:
+                print(f"\tTesting candidate {cand} ({ci + 1} out of "
+                      f"{n_c}) conditioned on {accepted}, current set "
+                      f"size: {len(accepted)}")
+            in_list = False
+            if whitelist is not None and cand in whitelist:
+                # whitelist feed-forward (reference: src/hiton.jl:20-38);
+                # LIVE membership may postdate the build -- drop the result
+                if has_req:
+                    gi += 1
+                accepted.append(cand)
+                accepted_dict[cand] = (NAN, NAN)
+                in_list = True
+                last_accept = True
+                if debug > 0:
+                    print("\tin whitelist")
+            elif Zs_build is None:      # blacklisted at build (static set)
+                in_list = True
+                if debug > 0:
+                    print("\tin blacklist")
+
+            if not in_list:
+                if legacy:
+                    if phase == "E":
+                        accepted = [a for a in accepted if a != cand]
+                    if cfg.bnb:
+                        from .bnb import bnb_test_subsets_gen
+
+                        res, lowest_Zs, num_tests, frac = (
+                            yield from bnb_test_subsets_gen(
+                                T, cand, accepted, cfg, engine,
+                                cfg.cut_test_branches))
+                    else:
+                        res, lowest_Zs, num_tests, frac = (
+                            yield from test_subsets_gen(
+                                T, cand, accepted, cfg, engine))
+                else:
+                    Zs_now = ([a for a in accepted if a != cand]
+                              if phase == "E" else accepted)
+                    if Zs_now != Zs_build:
+                        # stale speculation: the set mutated since build
+                        wasted = True
+                        break
+                    if phase == "E":
+                        accepted = list(Zs_now)
+                    if not has_req:         # empty conditioning set
+                        res, lowest_Zs, num_tests, frac = (
+                            TestResult(NAN, NAN, -1, True), (-1,), -1, NAN)
+                    else:
+                        if shared:
+                            z_i, k_i = Zarr, kvec
+                        else:
+                            z_i, k_i = Zarr_parts[gi], kvec_parts[gi]
+                        res, lowest_Zs, num_tests, frac = _consume_window(
+                            T, cand, cfg, engine, got, gi, z_i, k_i,
+                            len(Zs_now))
+                        gi += 1
+                n_before = len(accepted)
+                _decide(cfg, phase, cand, res, lowest_Zs, num_tests, frac,
+                        accepted, accepted_dict, support_dict, rej_dict)
+                last_accept = len(accepted) > n_before
+
+            ci += 1
+            # per-job time-limit checkpoint (reference: src/hiton.jl:143-146).
+            # Global convergence only takes effect HERE: a checkpointed job
+            # is frozen instead of resumed (reference:
+            # src/interleaved.jl:119-124); an unconverged checkpoint resumes
+            # with a fresh clock (the reference requeues + restarts the
+            # clock on re-entry, src/hiton.jl:305).
+            if check_clock and clock.expired() and ci < n_c:
+                if control.converged:
+                    return accepted_dict, candidates[ci:]
+                clock.reset()
+        # adapt the speculation depth: grow while windows consume fully,
+        # shrink when results were thrown away
+        if wasted:
+            spec = max(1, spec // 2)
+        else:
+            spec = min(SPEC_WINDOW_MAX, spec * 2)
     return accepted_dict, []
+
+
+def _consume_window(T, cand, cfg, engine, got, gi, Zarr, kvec, a):
+    """Finish one speculative candidate from the window's device response:
+    scan its slice of the window's subset mega-chunk (mi) or run the pcor DP
+    over its fetched masked correlation (fz_nz) -- the response half of
+    test_subsets_gen."""
+    if cfg.discrete:
+        stat, df, n_obs, suff, offsets, exit_e, w_loc, maxp, epv = got
+        sl = slice(offsets[gi], offsets[gi] + len(kvec))
+        chunk = (stat[sl], df[sl], n_obs[sl], suff[sl],
+                 (exit_e[gi], w_loc[gi], maxp[gi], epv[gi]))
+    else:
+        mcor, mcor_nobs = got[gi]
+        if cfg.n_obs_min > mcor_nobs:
+            return TestResult(0.0, 1.0, 0, False), (), 0, 0.0
+        # mcor is over [T, cand, Zs...]: Z_total[i] sits at position i + 2,
+        # so the (cached) combo template maps directly
+        tmpl_pos, _ = _combo_template(a, cfg.max_k)
+        chunk = _fznz_subset_stats(engine, tmpl_pos, Zarr, kvec, mcor,
+                                   mcor_nobs, True)
+    scan = _ChunkScan(cfg, T, cand, a)
+    hit = scan.consume(chunk, Zarr, kvec)
+    if hit is not None:
+        res, Zs = hit
+        return res, Zs, scan.num_tests, scan.num_tests / scan.total
+    return scan.finish()
 
 
 # ---------------------------------------------------------------------------
@@ -564,6 +841,9 @@ def si_hiton_pc(T: int, data, test_name: str = "mi", **kwargs) -> HitonState:
     engine = CondTestEngine(data, test_name, cfg.max_k, levels=levels,
                             max_vals=max_vals, cor_mat=cor_mat, hps=cfg.hps,
                             n_obs_min=cfg.n_obs_min)
+    from .scheduler import Dispatcher
+
+    dispatcher = Dispatcher(engine, cfg.alpha)
     gen = si_hiton_pc_gen(T, cfg, engine, univar[T])
     resp = None
     while True:
@@ -571,13 +851,7 @@ def si_hiton_pc(T: int, data, test_name: str = "mi", **kwargs) -> HitonState:
             req = gen.send(resp)
         except StopIteration as stop:
             return stop.value
-        if req[0] == "mi":
-            B = len(req[4])
-            resp = engine.mi_tests_raw(np.full(B, req[1], np.int32),
-                                       np.full(B, req[2], np.int32),
-                                       req[3], req[4])
-        else:
-            resp = engine.masked_cor([req[1]], [req[2]])[0]
+        resp = dispatcher.one(req)
 
 
 def _make_final_state(prev_state: HitonState, PC_dict, TPC_dict,

@@ -224,6 +224,7 @@ class RoundScheduler:
         self.sequential = sequential
         self.adj: Dict[int, Set[int]] = {}
         self.n_edges = 0
+        self.dispatcher = Dispatcher(engine, cfg.alpha)
 
     # -- graph tracking (reference: src/interleaved.jl:101-141) -------------
 
@@ -410,6 +411,26 @@ class RoundScheduler:
     # -- request dispatch ----------------------------------------------------
 
     def _dispatch_one(self, req):
+        return self.dispatcher.one(req)
+
+    def _dispatch_begin(self, pending: Dict[int, tuple]):
+        return self.dispatcher.begin(pending)
+
+    def _dispatch_finish(self, bundle, responses: Dict[int, object]):
+        return self.dispatcher.finish(bundle, responses)
+
+
+class Dispatcher:
+    """Batches HITON test requests (bare + speculative-window kinds) into
+    single async device calls and scatters responses with per-candidate
+    digests.  Shared by the round scheduler and the standalone si_hiton_pc
+    driver."""
+
+    def __init__(self, engine, alpha: float):
+        self.engine = engine
+        self.alpha = alpha
+
+    def one(self, req):
         kind = req[0]
         if kind == "mi":
             _, T, cand, Zs, kvec = req
@@ -419,55 +440,112 @@ class RoundScheduler:
         if kind == "mcor":
             _, pair, var_list = req
             return self.engine.masked_cor([pair], [var_list])[0]
+        if kind in ("miwin", "mcorwin"):
+            # a speculative window still ships as ONE device round in
+            # sequential mode -- reuse the batching machinery solo
+            resp: Dict[int, object] = {}
+            self.finish(self.begin({req[1]: req}), resp)
+            return resp[req[1]]
         raise ValueError(f"unknown request kind {kind}")
 
-    def _dispatch_begin(self, pending: Dict[int, tuple]):
+    def begin(self, pending: Dict[int, tuple]):
         """Batch same-kind requests from all targets and LAUNCH them as
-        single async device calls; returns a bundle for _dispatch_finish."""
-        mi_items = [(T, r) for T, r in pending.items() if r[0] == "mi"]
-        mcor_items = [(T, r) for T, r in pending.items() if r[0] == "mcor"]
+        single async device calls; returns a bundle for _dispatch_finish.
+
+        Request kinds: bare ("mi", T, cand, Zarr, kvec) / ("mcor", pair,
+        var_list) from the chunked generator path, and the speculative
+        windows ("miwin", T, cands, Zarr, kvec, counts, shared) /
+        ("mcorwin", T, pairs, var_lists) carrying a whole window's
+        candidates as pre-concatenated arrays -- the scheduler concatenates
+        O(windows) arrays per round instead of O(candidates)."""
+        mi_parts = []     # (Xs, Ys, Zarr, kvec) per window/request
+        mi_counts = []    # per-CANDIDATE subset counts (digest segments)
+        mi_slots = []     # (T, kind, n_cands) in mi_parts order
+        mcor_pairs, mcor_vls = [], []
+        mcor_slots = []   # (T, kind, n_cands)
+        for T, r in pending.items():
+            kind = r[0]
+            if kind == "mi":
+                _, _, cand, Zarr, kvec = r
+                B = len(kvec)
+                mi_parts.append((np.full(B, T, np.int32),
+                                 np.full(B, cand, np.int32), Zarr, kvec))
+                mi_counts.append(np.array([B], np.int64))
+                mi_slots.append((T, "mi", 1))
+            elif kind == "miwin":
+                _, _, cands, Zarr, kvec, counts, shared = r
+                w = len(cands)
+                if shared:
+                    Zcat = np.tile(Zarr, (w, 1))
+                    kcat = np.tile(kvec, w)
+                else:
+                    Zcat, kcat = Zarr, kvec
+                Bw = len(kcat)
+                mi_parts.append((np.full(Bw, T, np.int32),
+                                 np.repeat(np.asarray(cands, np.int32),
+                                           counts), Zcat, kcat))
+                mi_counts.append(np.asarray(counts, np.int64))
+                mi_slots.append((T, "miwin", w))
+            elif kind == "mcor":
+                mcor_pairs.append(r[1])
+                mcor_vls.append(r[2])
+                mcor_slots.append((T, "mcor", 1))
+            elif kind == "mcorwin":
+                mcor_pairs.extend(r[2])
+                mcor_vls.extend(r[3])
+                mcor_slots.append((T, "mcorwin", len(r[2])))
+            else:
+                raise ValueError(f"unknown request kind {kind}")
 
         mi_h = None
-        if mi_items:
-            n_items = len(mi_items)
-            counts = np.fromiter((len(r[4]) for _, r in mi_items), np.int64,
-                                 count=n_items)
-            Xs = np.repeat(np.fromiter((r[1] for _, r in mi_items), np.int32,
-                                       count=n_items), counts)
-            Ys = np.repeat(np.fromiter((r[2] for _, r in mi_items), np.int32,
-                                       count=n_items), counts)
-            Zs = np.concatenate([r[3] for _, r in mi_items])
-            ks = np.concatenate([r[4] for _, r in mi_items])
-            mi_h = (self.engine.mi_tests_begin(Xs, Ys, Zs, ks), mi_items,
+        if mi_parts:
+            Xs = np.concatenate([p[0] for p in mi_parts])
+            Ys = np.concatenate([p[1] for p in mi_parts])
+            Zs = np.concatenate([p[2] for p in mi_parts])
+            ks = np.concatenate([p[3] for p in mi_parts])
+            counts = np.concatenate(mi_counts)
+            mi_h = (self.engine.mi_tests_begin(Xs, Ys, Zs, ks), mi_slots,
                     counts)
         mcor_h = None
-        if mcor_items:
-            pairs = [r[1] for _, r in mcor_items]
-            var_lists = [r[2] for _, r in mcor_items]
-            mcor_h = (self.engine.masked_cor_begin(pairs, var_lists),
-                      mcor_items)
+        if mcor_pairs:
+            mcor_h = (self.engine.masked_cor_begin(mcor_pairs, mcor_vls),
+                      mcor_slots)
         return mi_h, mcor_h
 
-    def _dispatch_finish(self, bundle, responses: Dict[int, object]):
-        """Block on a _dispatch_begin bundle and scatter per-target slices,
-        each with a precomputed early-exit/weakest digest."""
+    def finish(self, bundle, responses: Dict[int, object]):
+        """Block on a begin() bundle and scatter per-window result
+        views, each with precomputed per-candidate early-exit/weakest
+        digests."""
         mi_h, mcor_h = bundle
         if mi_h is not None:
-            handle, mi_items, counts = mi_h
+            handle, mi_slots, counts = mi_h
             stat, df, n_obs, suff = self.engine.mi_tests_finish_lazy(handle)
             offsets = np.zeros(len(counts), np.int64)
             np.cumsum(counts[:-1], out=offsets[1:])
             exit_e, w_loc, maxp, epv = _scan_digest(
-                stat, df, n_obs, suff, offsets, counts, self.cfg.alpha)
-            off = 0
-            for i, ((T, _), b) in enumerate(zip(mi_items, counts)):
-                b = int(b)
-                sl = slice(off, off + b)
-                responses[T] = (stat[sl], df[sl], n_obs[sl], suff[sl],
-                                (exit_e[i], w_loc[i], maxp[i], epv[i]))
-                off += b
+                stat, df, n_obs, suff, offsets, counts, self.alpha)
+            ri = 0                      # digest row cursor
+            for T, kind, w in mi_slots:
+                e0 = int(offsets[ri])
+                e1 = (int(offsets[ri + w - 1] + counts[ri + w - 1]))
+                if kind == "mi":
+                    responses[T] = (stat[e0:e1], df[e0:e1], n_obs[e0:e1],
+                                    suff[e0:e1],
+                                    (exit_e[ri], w_loc[ri], maxp[ri],
+                                     epv[ri]))
+                else:
+                    responses[T] = (stat[e0:e1], df[e0:e1], n_obs[e0:e1],
+                                    suff[e0:e1], offsets[ri:ri + w] - e0,
+                                    exit_e[ri:ri + w], w_loc[ri:ri + w],
+                                    maxp[ri:ri + w], epv[ri:ri + w])
+                ri += w
         if mcor_h is not None:
-            handles, mcor_items = mcor_h
+            handles, mcor_slots = mcor_h
             outs = self.engine.masked_cor_finish(handles)
-            for (T, _), out in zip(mcor_items, outs):
-                responses[T] = out
+            oi = 0
+            for T, kind, w in mcor_slots:
+                if kind == "mcor":
+                    responses[T] = outs[oi]
+                else:
+                    responses[T] = outs[oi:oi + w]
+                oi += w

@@ -105,19 +105,28 @@ def _mi_cond_kernel(data, levels, maxv, X, Y, Zs, kvec, hps, B, max_k, L, S, nz)
     return stat, df, n_obs, suff
 
 
-@partial(jax.jit, static_argnames=("B", "max_k", "L", "S", "nz"))
+@partial(jax.jit, static_argnames=("B", "max_k", "L", "S", "nz", "pack2"))
 def _mi_cond_kernel_packed(data, levels, maxv, X, Y, Zs, kvec, hps, B, max_k,
-                           L, S, nz):
+                           L, S, nz, pack2=False):
     return _pack4(*_mi_cond_kernel(data, levels, maxv, X, Y, Zs, kvec, hps,
-                                   B, max_k, L, S, nz))
+                                   B, max_k, L, S, nz), pack2=pack2)
 
 
-def _pack4(stat, df, n_obs, suff):
-    """Pack the four result vectors into ONE (4, B) float array: over the
-    tunneled chip every host fetch costs ~100 ms of round-trip latency, so
-    results ship as a single transfer (df and n_obs are exact in f32 below
-    2^24)."""
+def _pack4(stat, df, n_obs, suff, pack2=False):
+    """Pack the four result vectors into ONE (4, B) float -- or, when the
+    static df bound fits (pack2), (2, B) int -- array: over the tunneled
+    chip every host fetch costs ~100 ms of round-trip latency plus
+    ~10-30 MB/s of download bandwidth, so results ship as a single transfer
+    at minimum width (pack2 layout: [bitcast stat, df<<21 | n_obs<<1 |
+    suff]; n_obs < 2^20 guaranteed by the engine gate)."""
     f = stat.dtype
+    if pack2:
+        it = jnp.int64 if f == jnp.float64 else jnp.int32
+        meta = ((df.astype(it) << 21) | (n_obs.astype(it) << 1)
+                | suff.astype(it))
+        from jax import lax
+
+        return jnp.stack([lax.bitcast_convert_type(stat, it), meta])
     return jnp.stack([stat, df.astype(f), n_obs.astype(f), suff.astype(f)])
 
 
@@ -132,10 +141,11 @@ def _pack4(stat, df, n_obs, suff):
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=None)
-def _sharded_mi_cond_fn(mesh, Bloc, max_k, L, S, nz):
+def _sharded_mi_cond_fn(mesh, Bloc, max_k, L, S, nz, pack2):
     def body(data, levels, maxv, X, Y, Zs, kvec, hps):
         return _pack4(*_mi_cond_kernel(data, levels, maxv, X, Y, Zs, kvec,
-                                       hps, Bloc, max_k, L, S, nz))
+                                       hps, Bloc, max_k, L, S, nz),
+                      pack2=pack2)
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
@@ -145,7 +155,7 @@ def _sharded_mi_cond_fn(mesh, Bloc, max_k, L, S, nz):
 
 
 @lru_cache(maxsize=None)
-def _mi_cond_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz):
+def _mi_cond_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz, pack2):
     """lax.scan of the conditional MI kernel over ``nseg`` fixed-size
     segments -- ONE device dispatch per scheduler round no matter how large
     the round batch, instead of ceil(B/bucket) sequential calls each paying
@@ -155,11 +165,12 @@ def _mi_cond_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz):
         def body(carry, seg):
             Xs, Ys, Zss, ks = seg
             out = _pack4(*_mi_cond_kernel(data, levels, maxv, Xs, Ys, Zss,
-                                          ks, hps, Bloc, max_k, L, S, nz))
+                                          ks, hps, Bloc, max_k, L, S, nz),
+                         pack2=pack2)
             return carry, out
 
         _, outs = jax.lax.scan(body, 0, (X, Y, Zs, kvec))
-        return outs                                    # (nseg, 4, Bloc)
+        return outs                                    # (nseg, 2|4, Bloc)
 
     if mesh is None:
         return jax.jit(scan_body)
@@ -287,6 +298,12 @@ class CondTestEngine:
             self.maxv_j = jnp.asarray(self.max_vals)
             self.L = int(self.max_vals.max()) + 1
             self.S = self.L ** max_k if max_k > 0 else 1
+            # narrow (2, B) result packing needs df < 2^10 (f32 path) and
+            # n_obs < 2^20
+            self.pack2 = self.n < (1 << 20) and (
+                jax.config.jax_enable_x64
+                or (self.L - 1) ** 2 * self.S < (1 << 10)
+            )
         self.cor_mat = cor_mat  # host float64 (fz mode)
         # per-(T,C) masked correlation cache for fz_nz, cleared per pair
         self._mcor_cache = {}
@@ -306,13 +323,30 @@ class CondTestEngine:
             return self._mi_tests_seg(X, Y, Zs, kvec)
         return self._mi_tests_scan(X, Y, Zs, kvec, seg)
 
+    def _unpack(self, out, Bp):
+        """ONE device fetch -> host (stat, df, n_obs, suff) float64 views."""
+        arr = np.asarray(out)
+        w = arr.shape[-2] if arr.ndim == 3 else arr.shape[0]
+        if arr.ndim == 3:                              # scan: (nseg, w, seg)
+            arr = np.moveaxis(arr, 1, 0).reshape(w, Bp)
+        if w == 2:
+            ft = np.float64 if arr.dtype == np.int64 else np.float32
+            stat = arr[0].view(ft).astype(np.float64)
+            meta = arr[1]
+            df = (meta >> 21).astype(np.int64)
+            n_obs = ((meta >> 1) & 0xFFFFF).astype(np.float64)
+            suff = (meta & 1) != 0
+            return stat, df, n_obs, suff
+        return (arr[0].astype(np.float64), arr[1].astype(np.int64),
+                arr[2].astype(np.float64), arr[3] != 0)
+
     def mi_tests_finish(self, handle):
         """Block on a mi_tests_begin handle; returns (stat, pval, df, suff)."""
         out, B, Bp = handle
-        arr = np.asarray(out)                          # ONE fetch
-        if arr.ndim == 3:                              # scan: (nseg, 4, seg)
-            arr = np.moveaxis(arr, 1, 0).reshape(4, Bp)
-        return self._finish_packed(arr, B)
+        stat, df, n_obs, suff = self._unpack(out, Bp)
+        stat, df, n_obs, suff = stat[:B], df[:B], n_obs[:B], suff[:B]
+        pval = np.where(suff, sf.mi_pval(stat, df, n_obs), 1.0)
+        return stat, pval, df, suff
 
     def mi_tests_finish_lazy(self, handle):
         """Block on a mi_tests_begin handle WITHOUT computing p-values;
@@ -322,14 +356,8 @@ class CondTestEngine:
         prefix, so the per-element host p-value pass over the padded
         mega-batch disappears."""
         out, B, Bp = handle
-        arr = np.asarray(out)                          # ONE fetch
-        if arr.ndim == 3:                              # scan: (nseg, 4, seg)
-            arr = np.moveaxis(arr, 1, 0).reshape(4, Bp)
-        stat = arr[0].astype(np.float64)[:B]
-        df = arr[1].astype(np.int64)[:B]
-        n_obs = arr[2].astype(np.float64)[:B]
-        suff = arr[3][:B] != 0
-        return stat, df, n_obs, suff
+        stat, df, n_obs, suff = self._unpack(out, Bp)
+        return stat[:B], df[:B], n_obs[:B], suff[:B]
 
     def mi_tests_raw(self, X: np.ndarray, Y: np.ndarray, Zs: np.ndarray,
                      kvec: np.ndarray):
@@ -352,7 +380,7 @@ class CondTestEngine:
         Zp = np.zeros((Bp, self.max_k), np.int32); Zp[:B] = Zs
         kp = np.zeros(Bp, np.int32); kp[:B] = kvec
         fn = _mi_cond_scan_fn(self.mesh, nseg, seg // ndev, self.max_k,
-                              self.L, self.S, self.nz)
+                              self.L, self.S, self.nz, self.pack2)
         out = fn(                                      # async: (nseg, 4, seg)
             self.data_j, self.levels_j, self.maxv_j,
             Xp.reshape(nseg, seg), Yp.reshape(nseg, seg),
@@ -378,7 +406,7 @@ class CondTestEngine:
         if self.mesh is not None:
             fn = _sharded_mi_cond_fn(
                 self.mesh, Bp // self.mesh.devices.size, self.max_k, self.L,
-                self.S, self.nz,
+                self.S, self.nz, self.pack2,
             )
             out = fn(self.data_j, self.levels_j, self.maxv_j, Xp, Yp, Zp, kp,
                      float(self.hps))
@@ -387,17 +415,9 @@ class CondTestEngine:
                 self.data_j, self.levels_j, self.maxv_j,
                 Xp, Yp, Zp, kp,
                 float(self.hps), Bp, self.max_k, self.L, self.S, self.nz,
+                self.pack2,
             )
         return out, B, Bp
-
-    def _finish_packed(self, out: np.ndarray, B: int):
-        """(4, Bp) packed device results -> (stat, pval, df, suff) f64/[:B]."""
-        stat = out[0].astype(np.float64)[:B]
-        df = out[1].astype(np.int64)[:B]
-        n_obs = out[2].astype(np.float64)[:B]
-        suff = out[3][:B] != 0
-        pval = np.where(suff, sf.mi_pval(stat, df, n_obs), 1.0)
-        return stat, pval, df, suff
 
     # -- continuous ---------------------------------------------------------
 
