@@ -87,6 +87,12 @@ def bnb_test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
                 "mi", T, cand, Zarr, np.array([k], np.int32))
             return TestResult(float(stat[0]), float(pval[0]), int(df[0]),
                               bool(suff[0]))
+        if not cfg.nz and getattr(engine, "cor_device", False):
+            # fz against the device-resident correlation matrix
+            stat, pval, df, suff = yield (
+                "fz", T, cand, Zarr, np.array([k], np.int32))
+            return TestResult(float(stat[0]), float(pval[0]), int(df[0]),
+                              bool(suff[0]))
         if positions is None:
             pos_X, pos_Y = np.array([T]), np.array([cand])
             pos_Z = Zarr.astype(np.int64)

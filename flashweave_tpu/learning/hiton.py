@@ -348,7 +348,7 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
                 mcor_nobs = engine.nz_pair_count(T, cand)
             if cfg.n_obs_min > mcor_nobs:
                 return TestResult(0.0, 1.0, 0, False), (), 0, 0.0
-        else:
+        elif not getattr(engine, "cor_device", False):
             mcor = engine.cor_mat
             mcor_nobs = engine.n
 
@@ -372,6 +372,8 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
         elif nz_positions:
             got = _fznz_subset_stats(engine, pos, Zarr, kvec, mcor,
                                      mcor_nobs, nz_positions)
+        elif getattr(engine, "cor_device", False):
+            got = yield ("fz", T, cand, Zarr, kvec)
         else:
             pos_X = np.full(B, T, np.int64)
             pos_Y = np.full(B, cand, np.int64)
@@ -446,8 +448,11 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
 
     accepted: List[int] = list(candidates) if phase == "E" else []
     discrete = cfg.discrete
+    fz_dev = (not discrete and not cfg.nz
+              and getattr(engine, "cor_device", False))
     spec_able = (not cfg.bnb) and (
-        discrete or (cfg.nz and engine.recursive_pcor and not discrete)
+        discrete or fz_dev
+        or (cfg.nz and engine.recursive_pcor and not discrete)
     )
     check_clock = cfg.time_limit > 0.0
     debug = cfg.debug
@@ -474,7 +479,8 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
         items = []                     # (cand, Zs_build | None, has_req, legacy)
         Zarr_parts, kvec_parts = [], []
         shared = False
-        if (spec_able and phase == "I" and not mode_accept and accepted
+        if (spec_able and not cfg.nz and phase == "I" and not mode_accept
+                and accepted
                 and _subset_total(len(accepted), max_k) <= SUBSET_CHUNK):
             # reject-chain interleaving: every candidate in the window
             # shares the SAME conditioning set -- one template serves all
@@ -488,8 +494,6 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
                 else:
                     items.append((cand, Zs_shared, True, False))
                     cands_w.append(cand)
-                    if not discrete:
-                        varlists_w.append([T, cand] + Zs_shared)
         else:
             chain = list(accepted)
             for cand in candidates[ci : ci + window]:
@@ -516,7 +520,7 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
                 kvec_parts.append(kvec)
                 items.append((cand, Zs, True, False))
                 cands_w.append(cand)
-                if not discrete:
+                if cfg.nz and not discrete:
                     varlists_w.append([T, cand] + Zs)
                 if mode_accept:
                     chain = Zs + [cand]
@@ -525,14 +529,15 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
 
         got = None
         if cands_w:
-            if discrete:
+            if discrete or fz_dev:
+                kind = "miwin" if discrete else "fzwin"
                 if shared:
-                    req = ("miwin", T, cands_w, Zarr, kvec,
+                    req = (kind, T, cands_w, Zarr, kvec,
                            np.full(len(cands_w), len(kvec), np.int64), True)
                 else:
                     counts = np.fromiter((len(k) for k in kvec_parts),
                                          np.int64, count=len(kvec_parts))
-                    req = ("miwin", T, cands_w,
+                    req = (kind, T, cands_w,
                            np.concatenate(Zarr_parts),
                            np.concatenate(kvec_parts), counts, False)
             else:
@@ -692,6 +697,11 @@ def _consume_window(T, cand, cfg, engine, got, gi, Zarr, kvec, a):
         sl = slice(offsets[gi], offsets[gi] + len(kvec))
         chunk = (stat[sl], df[sl], n_obs[sl], suff[sl],
                  (exit_e[gi], w_loc[gi], maxp[gi], epv[gi]))
+    elif not cfg.nz:
+        # fzwin: (stat, pval, df, suff, offsets) window arrays
+        stat, pval, df, suff, offsets = got
+        sl = slice(offsets[gi], offsets[gi] + len(kvec))
+        chunk = (stat[sl], pval[sl], df[sl], suff[sl])
     else:
         mcor, mcor_nobs = got[gi]
         if cfg.n_obs_min > mcor_nobs:

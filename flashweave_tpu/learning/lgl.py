@@ -68,12 +68,11 @@ def prepare_lgl(data, test_name, time_limit, parallel, feed_forward, max_k,
             print("Computing levels")
         levels = get_levels(data)
         max_vals = get_max_vals(data)
-    else:
-        if dense_cor and max_k > 0 and not is_zero_adjusted(test_name):
-            # only the conditioning engine needs the host matrix; at max_k=0
-            # the univariate pass recomputes it on device (one Gram matmul)
-            # without pulling p x p floats through the tunnel
-            cor_mat = np.asarray(uv.cor_matrix(np.asarray(data)), dtype=np.float64)
+    # fz conditioning no longer materializes a HOST p x p float64 matrix
+    # (80 GB at p=100k): CondTestEngine keeps the correlation matrix
+    # device-resident and gathers/recurses on device (the reference's
+    # dense_cor option, re-sited; reference src/learning.jl:42-47).  An
+    # explicit ``cor_mat`` kwarg still routes through the host path.
 
     if n_obs_min < 0:
         # reference quirk: `n_obs_min < 0 & is_zero_adjusted(test_name)`

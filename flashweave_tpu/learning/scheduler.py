@@ -440,7 +440,12 @@ class Dispatcher:
         if kind == "mcor":
             _, pair, var_list = req
             return self.engine.masked_cor([pair], [var_list])[0]
-        if kind in ("miwin", "mcorwin"):
+        if kind == "fz":
+            _, T, cand, Zs, kvec = req
+            B = len(kvec)
+            return self.engine.fz_tests_raw(
+                np.full(B, T, np.int32), np.full(B, cand, np.int32), Zs, kvec)
+        if kind in ("miwin", "mcorwin", "fzwin"):
             # a speculative window still ships as ONE device round in
             # sequential mode -- reuse the batching machinery solo
             resp: Dict[int, object] = {}
@@ -461,11 +466,33 @@ class Dispatcher:
         mi_parts = []     # (Xs, Ys, Zarr, kvec) per window/request
         mi_counts = []    # per-CANDIDATE subset counts (digest segments)
         mi_slots = []     # (T, kind, n_cands) in mi_parts order
+        fz_parts, fz_counts, fz_slots = [], [], []
         mcor_pairs, mcor_vls = [], []
         mcor_slots = []   # (T, kind, n_cands)
         for T, r in pending.items():
             kind = r[0]
-            if kind == "mi":
+            if kind == "fz":
+                _, _, cand, Zarr, kvec = r
+                B = len(kvec)
+                fz_parts.append((np.full(B, T, np.int32),
+                                 np.full(B, cand, np.int32), Zarr, kvec))
+                fz_counts.append(np.array([B], np.int64))
+                fz_slots.append((T, "fz", 1))
+            elif kind == "fzwin":
+                _, _, cands, Zarr, kvec, counts, shared = r
+                w = len(cands)
+                if shared:
+                    Zcat = np.tile(Zarr, (w, 1))
+                    kcat = np.tile(kvec, w)
+                else:
+                    Zcat, kcat = Zarr, kvec
+                Bw = len(kcat)
+                fz_parts.append((np.full(Bw, T, np.int32),
+                                 np.repeat(np.asarray(cands, np.int32),
+                                           counts), Zcat, kcat))
+                fz_counts.append(np.asarray(counts, np.int64))
+                fz_slots.append((T, "fzwin", w))
+            elif kind == "mi":
                 _, _, cand, Zarr, kvec = r
                 B = len(kvec)
                 mi_parts.append((np.full(B, T, np.int32),
@@ -506,17 +533,25 @@ class Dispatcher:
             counts = np.concatenate(mi_counts)
             mi_h = (self.engine.mi_tests_begin(Xs, Ys, Zs, ks), mi_slots,
                     counts)
+        fz_h = None
+        if fz_parts:
+            Xs = np.concatenate([p[0] for p in fz_parts])
+            Ys = np.concatenate([p[1] for p in fz_parts])
+            Zs = np.concatenate([p[2] for p in fz_parts])
+            ks = np.concatenate([p[3] for p in fz_parts])
+            fz_h = (self.engine.fz_tests_begin(Xs, Ys, Zs, ks), fz_slots,
+                    np.concatenate(fz_counts))
         mcor_h = None
         if mcor_pairs:
             mcor_h = (self.engine.masked_cor_begin(mcor_pairs, mcor_vls),
                       mcor_slots)
-        return mi_h, mcor_h
+        return mi_h, fz_h, mcor_h
 
     def finish(self, bundle, responses: Dict[int, object]):
         """Block on a begin() bundle and scatter per-window result
         views, each with precomputed per-candidate early-exit/weakest
         digests."""
-        mi_h, mcor_h = bundle
+        mi_h, fz_h, mcor_h = bundle
         if mi_h is not None:
             handle, mi_slots, counts = mi_h
             stat, df, n_obs, suff = self.engine.mi_tests_finish_lazy(handle)
@@ -538,6 +573,22 @@ class Dispatcher:
                                     suff[e0:e1], offsets[ri:ri + w] - e0,
                                     exit_e[ri:ri + w], w_loc[ri:ri + w],
                                     maxp[ri:ri + w], epv[ri:ri + w])
+                ri += w
+        if fz_h is not None:
+            handle, fz_slots, counts = fz_h
+            stat, pval, df, suff = self.engine.fz_tests_finish(handle)
+            offsets = np.zeros(len(counts), np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            ri = 0
+            for T, kind, w in fz_slots:
+                e0 = int(offsets[ri])
+                e1 = int(offsets[ri + w - 1] + counts[ri + w - 1])
+                if kind == "fz":
+                    responses[T] = (stat[e0:e1], pval[e0:e1], df[e0:e1],
+                                    suff[e0:e1])
+                else:
+                    responses[T] = (stat[e0:e1], pval[e0:e1], df[e0:e1],
+                                    suff[e0:e1], offsets[ri:ri + w] - e0)
                 ri += w
         if mcor_h is not None:
             handles, mcor_slots = mcor_h

@@ -29,6 +29,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from . import statfuns as sf
@@ -87,10 +88,16 @@ def _mi_cond_kernel(data, levels, maxv, X, Y, Zs, kvec, hps, B, max_k, L, S, nz)
         ox = jnp.zeros(B, jnp.int32)
         oy = jnp.zeros(B, jnp.int32)
         mask = jnp.ones(x.shape, bool)
-    ctab = cond_ctab_batch(data, X, Y, Zs, kvec, mask.astype(fdt),
-                           B, max_k, L, S)
+    ctab, occ = cond_ctab_batch(data, X, Y, Zs, kvec, mask.astype(fdt),
+                                B, max_k, L, S)
     stat, df, n_obs = sf.mi_stats(ctab, ox, oy, xp=jnp)
-    levels_z = (ctab.sum(axis=(1, 2)) > 0).sum(axis=-1)   # occupied strata
+    if occ is None:
+        levels_z = (ctab.sum(axis=(1, 2)) > 0).sum(axis=-1)  # occupied strata
+    else:
+        # compacted-strata mode: the EXACT occupied count (can exceed the
+        # table width S; such tests fail the power check below by
+        # construction, so their merged-tail tables never matter)
+        levels_z = occ
     if nz:
         lx_eff = (L - ox).astype(fdt)
         ly_eff = (L - oy).astype(fdt)
@@ -147,10 +154,13 @@ def _sharded_mi_cond_fn(mesh, Bloc, max_k, L, S, nz, pack2):
                                        hps, Bloc, max_k, L, S, nz),
                       pack2=pack2)
 
+    def gathered(*args):
+        return lax.all_gather(body(*args), "d", axis=1, tiled=True)
+
     return jax.jit(jax.shard_map(
-        body, mesh=mesh,
+        gathered, mesh=mesh,
         in_specs=(P(), P(), P(), P("d"), P("d"), P("d"), P("d"), P()),
-        out_specs=P(None, "d"), check_vma=False,
+        out_specs=P(), check_vma=False,
     ))
 
 
@@ -174,11 +184,15 @@ def _mi_cond_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz, pack2):
 
     if mesh is None:
         return jax.jit(scan_body)
+
+    def gathered(*args):
+        return lax.all_gather(scan_body(*args), "d", axis=2, tiled=True)
+
     return jax.jit(jax.shard_map(
-        scan_body, mesh=mesh,
+        gathered, mesh=mesh,
         in_specs=(P(), P(), P(), P(None, "d"), P(None, "d"), P(None, "d"),
                   P(None, "d"), P()),
-        out_specs=P(None, None, "d"), check_vma=False,
+        out_specs=P(), check_vma=False,
     ))
 
 
@@ -187,10 +201,52 @@ def _sharded_masked_cor_fn(mesh, Bloc, m):
     def body(data, X, Y, VI):
         return _masked_cor_kernel(data, X, Y, VI, Bloc, m)
 
+    def gathered(data, X, Y, VI):
+        return lax.all_gather(body(data, X, Y, VI), "d", tiled=True)
+
     return jax.jit(jax.shard_map(
-        body, mesh=mesh, in_specs=(P(), P("d"), P("d"), P("d")),
-        out_specs=P("d"), check_vma=False,
+        gathered, mesh=mesh, in_specs=(P(), P("d"), P("d"), P("d")),
+        out_specs=P(), check_vma=False,
     ))
+
+
+# ---------------------------------------------------------------------------
+# fz conditional kernel: device-resident correlation matrix
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("B", "max_k"))
+def _fz_cond_kernel(C, X, Y, Zs, kvec, B, max_k):
+    """Batched partial correlations from the device-resident p x p
+    correlation matrix: gather (max_k+2)^2 submatrices, run the pcor
+    recursion DP (reference: src/statfuns.jl:23-75) on device.  Replaces
+    the host float64 p x p matrix requirement (80 GB at p=100k) with an
+    O(p^2) f32 device array + O(B m^2) per batch."""
+    karr = jnp.arange(max_k, dtype=kvec.dtype)
+    pad = jnp.where(karr[None, :] < kvec[:, None], Zs, X[:, None])
+    idx = jnp.concatenate([X[:, None], Y[:, None], pad], axis=1)   # (B, m)
+    sub = C[idx[:, :, None], idx[:, None, :]]
+    return sf.pcor_dp(sub, kvec, max_k, xp=jnp)
+
+
+@lru_cache(maxsize=8)
+def _sharded_fz_cond_fn(mesh, Bloc, max_k):
+    def body(C, X, Y, Zs, kvec):
+        out = _fz_cond_kernel(C, X, Y, Zs, kvec, Bloc, max_k)
+        return lax.all_gather(out, "d", tiled=True)
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P("d"), P("d"), P("d"), P("d")),
+        out_specs=P(), check_vma=False,
+    ))
+
+
+def _bucket_pow2(b: int) -> int:
+    """Power-of-two padding above the largest fixed bucket (bounds the jit
+    cache for arbitrarily large mega-round batches)."""
+    s = _bucket(b)
+    if s <= BATCH_BUCKETS[-1]:
+        return s
+    return 1 << (b - 1).bit_length()
 
 
 # ---------------------------------------------------------------------------
@@ -288,9 +344,9 @@ class CondTestEngine:
         else:
             self.data_j = jnp.asarray(data, dtype=dtype)
         if mesh is not None:
-            from ..parallel.mesh import replicated
+            from ..parallel.mesh import put_replicated
 
-            self.data_j = jax.device_put(self.data_j, replicated(mesh))
+            self.data_j = put_replicated(self.data_j, mesh)
         if self.discrete:
             self.levels = np.asarray(levels, dtype=np.int32)
             self.max_vals = np.asarray(max_vals, dtype=np.int32)
@@ -298,15 +354,35 @@ class CondTestEngine:
             self.maxv_j = jnp.asarray(self.max_vals)
             self.L = int(self.max_vals.max()) + 1
             self.S = self.L ** max_k if max_k > 0 else 1
+            # occupied-strata cap (ZMapper-equivalent compaction): beyond
+            # n/hps occupied strata the power check fails regardless, so the
+            # histogram width never needs to exceed it (nor n, the row count)
+            cap = self.n if hps <= 0 else min(self.n, int(self.n // hps) + 1)
+            self.S_hist = min(self.S, max(int(cap), 1))
             # narrow (2, B) result packing needs df < 2^10 (f32 path) and
             # n_obs < 2^20
             self.pack2 = self.n < (1 << 20) and (
                 jax.config.jax_enable_x64
-                or (self.L - 1) ** 2 * self.S < (1 << 10)
+                or (self.L - 1) ** 2 * self.S_hist < (1 << 10)
             )
-        self.cor_mat = cor_mat  # host float64 (fz mode)
-        # per-(T,C) masked correlation cache for fz_nz, cleared per pair
-        self._mcor_cache = {}
+        self.cor_mat = cor_mat  # host float64 (fz mode, explicit matrix)
+        # fz without an explicit host matrix: DEVICE-resident correlation
+        # matrix (f32 on TPU) + the on-device pcor DP -- drops the host
+        # float64 p x p requirement (80 GB at p=100k)
+        self.cor_device = False
+        if (not self.discrete and not self.nz and recursive_pcor
+                and max_k > 0 and cor_mat is None):
+            if self.p > 52000:
+                raise MemoryError(
+                    f"device-resident correlation needs p^2 f32 "
+                    f"({self.p}^2 exceeds one chip's HBM); use "
+                    "recursive_pcor=False (per-test regression) or shard "
+                    "over more chips"
+                )
+            from .univariate import cor_matrix
+
+            self.cor_j = cor_matrix(self.data_j)
+            self.cor_device = True
 
     # -- discrete -----------------------------------------------------------
 
@@ -380,7 +456,7 @@ class CondTestEngine:
         Zp = np.zeros((Bp, self.max_k), np.int32); Zp[:B] = Zs
         kp = np.zeros(Bp, np.int32); kp[:B] = kvec
         fn = _mi_cond_scan_fn(self.mesh, nseg, seg // ndev, self.max_k,
-                              self.L, self.S, self.nz, self.pack2)
+                              self.L, self.S_hist, self.nz, self.pack2)
         out = fn(                                      # async: (nseg, 4, seg)
             self.data_j, self.levels_j, self.maxv_j,
             Xp.reshape(nseg, seg), Yp.reshape(nseg, seg),
@@ -406,7 +482,7 @@ class CondTestEngine:
         if self.mesh is not None:
             fn = _sharded_mi_cond_fn(
                 self.mesh, Bp // self.mesh.devices.size, self.max_k, self.L,
-                self.S, self.nz, self.pack2,
+                self.S_hist, self.nz, self.pack2,
             )
             out = fn(self.data_j, self.levels_j, self.maxv_j, Xp, Yp, Zp, kp,
                      float(self.hps))
@@ -414,8 +490,8 @@ class CondTestEngine:
             out = _mi_cond_kernel_packed(
                 self.data_j, self.levels_j, self.maxv_j,
                 Xp, Yp, Zp, kp,
-                float(self.hps), Bp, self.max_k, self.L, self.S, self.nz,
-                self.pack2,
+                float(self.hps), Bp, self.max_k, self.L, self.S_hist,
+                self.nz, self.pack2,
             )
         return out, B, Bp
 
@@ -466,6 +542,47 @@ class CondTestEngine:
         else:
             out = _masked_cor_kernel(self.data_j, X, Y, VI, Bp, m)
         return out, B, Bp, m
+
+    def fz_tests_begin(self, X: np.ndarray, Y: np.ndarray, Zs: np.ndarray,
+                       kvec: np.ndarray):
+        """Launch B fz conditional tests against the device-resident
+        correlation matrix (gather + pcor DP on device); returns a handle
+        for fz_tests_finish."""
+        global N_TESTS_DISPATCHED
+        B = len(X)
+        N_TESTS_DISPATCHED += B
+        if self.n < self.n_obs_min:
+            return (None, B, None)
+        Bp = self._bucket(B) if B <= BATCH_BUCKETS[-1] else _bucket_pow2(B)
+        if self.mesh is not None:
+            Bp += (-Bp) % self.mesh.devices.size
+        Xp = np.zeros(Bp, np.int32); Xp[:B] = X
+        Yp = np.zeros(Bp, np.int32); Yp[:B] = Y
+        Zp = np.zeros((Bp, self.max_k), np.int32); Zp[:B] = Zs
+        kp = np.zeros(Bp, np.int32); kp[:B] = kvec
+        if self.mesh is not None:
+            fn = _sharded_fz_cond_fn(self.mesh,
+                                     Bp // self.mesh.devices.size,
+                                     self.max_k)
+            out = fn(self.cor_j, Xp, Yp, Zp, kp)
+        else:
+            out = _fz_cond_kernel(self.cor_j, Xp, Yp, Zp, kp, Bp, self.max_k)
+        return (out, B, Bp)
+
+    def fz_tests_finish(self, handle):
+        """(stat, pval, df, suff) in host float64 (reference semantics:
+        src/tests.jl:250-265 -- df 0, suff is the run-level n_obs check)."""
+        if handle[0] is None:          # run-level n_obs_min failure
+            B = handle[1]
+            return (np.zeros(B), np.ones(B), np.zeros(B, np.int64),
+                    np.zeros(B, bool))
+        out, B, Bp = handle
+        stat = np.asarray(out).astype(np.float64)[:B]
+        pval = np.asarray(sf.fz_pval(stat, self.n, 0))
+        return stat, pval, np.zeros(B, np.int64), np.ones(B, bool)
+
+    def fz_tests_raw(self, X, Y, Zs, kvec):
+        return self.fz_tests_finish(self.fz_tests_begin(X, Y, Zs, kvec))
 
     def fz_tests_from_cor_raw(self, C: np.ndarray, pos_X: np.ndarray,
                               pos_Y: np.ndarray, pos_Zs: np.ndarray,

@@ -15,10 +15,12 @@ X!=0 / Y!=0, which replaces every nz-aware merge-join special case in the
 reference.
 
 The z-stratum hash (reference ZMapper, src/types.jl:26-51) becomes a radix
-encoding z_code = sum_j Z_j * L^j with a FIXED stratum count S = L^max_k.
-Empty strata contribute nothing to the MI statistic and 0 to the adjusted df
-(max(1, nonzero_margins) - 1 == 0), so no dense re-mapping is needed; the
-number of occupied strata (for the power heuristic) is a presence reduction.
+encoding z_code = sum_j Z_j * L^j.  Empty strata contribute nothing to the
+MI statistic and 0 to the adjusted df (max(1, nonzero_margins) - 1 == 0), so
+small stratum spaces use the fixed width S = L^max_k directly; when that
+blows up (many-level meta variables) the codes are remapped to dense
+occupied ranks per test (_remap_strata), capping the width at the point
+where the power heuristic would fail anyway (occupied > n/hps).
 """
 
 from __future__ import annotations
@@ -64,7 +66,32 @@ def pair_ctab_block(data, start, tile, L, y_start=0, y_len=None):
     return ctab.transpose(0, 2, 1, 3)                      # (tile, y_len, L, L)
 
 
-@partial(jax.jit, static_argnames=("B_pad", "max_k", "L", "S"))
+def _remap_strata(zcode, row_mask, S_cap):
+    """Dense occupied-stratum ranks per test -- the batched, sort-based
+    equivalent of the reference's lazy ZMapper (reference: src/types.jl:26-51):
+    stratum IDENTITY is irrelevant to the G-test (a sum over strata) and to
+    the adjusted df, only distinctness matters, so z-codes are remapped to
+    their per-test rank among occupied codes.  This caps the histogram width
+    at S_cap instead of L^max_k (32k cells/row at L=8, max_k=3).
+
+    Returns (ranks (n, B) int32 clipped to S_cap-1, occupied (B,) int32).
+    Tests whose occupied count exceeds S_cap get merged trailing strata --
+    harmless, because occupied > n/hps forces the power check false and the
+    statistics are zeroed (the caller receives the EXACT occupied count)."""
+    big = jnp.int32(2 ** 30)
+    codesT = jnp.where(row_mask > 0, zcode, big).astype(jnp.int32).T  # (B, n)
+    order = jnp.argsort(codesT, axis=1)
+    sc = jnp.take_along_axis(codesT, order, axis=1)
+    new = jnp.concatenate(
+        [jnp.ones(sc.shape[:1] + (1,), bool), sc[:, 1:] != sc[:, :-1]],
+        axis=1) & (sc < big)
+    ranks_sorted = jnp.cumsum(new.astype(jnp.int32), axis=1) - 1
+    occ = new.sum(axis=1).astype(jnp.int32)
+    inv = jnp.argsort(order, axis=1)
+    ranks = jnp.take_along_axis(ranks_sorted, inv, axis=1)
+    return jnp.clip(ranks, 0, S_cap - 1).T, occ
+
+
 def cond_ctab_batch(data, X, Y, Zs, kvec, row_mask, B_pad, max_k, L, S):
     """Stratified contingency tables for a batch of (X, Y, Zs) descriptors.
 
@@ -87,8 +114,12 @@ def cond_ctab_batch(data, X, Y, Zs, kvec, row_mask, B_pad, max_k, L, S):
       kvec: (B_pad,) conditioning-set sizes.
       row_mask: (n, B_pad) float 0/1 -- rows included per test (the reference's
         dense-path view trimming, src/hiton.jl:41-50).
+      S: stratum-table width.  When S < L^max_k the z-codes are remapped to
+        dense occupied ranks (see _remap_strata); the second return value is
+        then the EXACT per-test occupied-stratum count.
     Returns:
-      (B_pad, L, L, S) float tables over the masked rows.
+      ((B_pad, L, L, S) float tables over the masked rows,
+       (B_pad,) occupied counts or None when S == L^max_k).
     """
     n = data.shape[0]
     x = jnp.take(data, X, axis=1)                          # (n, B)
@@ -99,6 +130,10 @@ def cond_ctab_batch(data, X, Y, Zs, kvec, row_mask, B_pad, max_k, L, S):
         zj = jnp.take(data, Zs[:, j], axis=1).astype(jnp.int32)
         zcode = zcode + jnp.where(j < kvec[None, :], zj * (L ** j), 0)
 
+    occ = None
+    if S < L ** max_k:
+        zcode, occ = _remap_strata(zcode, row_mask, S)
+
     if jax.default_backend() == "tpu":
         fdt = jnp.promote_types(data.dtype, jnp.float32)   # data may be int8
         C = L * L * S
@@ -107,7 +142,7 @@ def cond_ctab_batch(data, X, Y, Zs, kvec, row_mask, B_pad, max_k, L, S):
         cnt = (cell[:, :, None] == jnp.arange(C, dtype=jnp.int32)).astype(
             fdt).sum(axis=0)                               # (B, C)
         # cell = x + L*y + L^2*z  ->  (B, S, y_level, x_level) -> (B, L, L, S)
-        return cnt.reshape(B_pad, S, L, L).transpose(0, 3, 2, 1)
+        return cnt.reshape(B_pad, S, L, L).transpose(0, 3, 2, 1), occ
 
     ex = onehot_encode(x, L) * row_mask[..., None]         # (n, B, L)
     ey = onehot_encode(y, L)                               # (n, B, L)
@@ -115,7 +150,7 @@ def cond_ctab_batch(data, X, Y, Zs, kvec, row_mask, B_pad, max_k, L, S):
     # fuse (y_level, stratum) then batched matmul over B: (B,L,n)@(B,n,L*S)
     w = (ey[..., :, None] * ez[..., None, :]).reshape(n, B_pad, L * S)
     ctab = jnp.einsum("nba,nbm->bam", ex, w, preferred_element_type=data.dtype)
-    return ctab.reshape(B_pad, L, L, S)
+    return ctab.reshape(B_pad, L, L, S), occ
 
 
 def slice_mask(ctab, ox, oy, xp=jnp):

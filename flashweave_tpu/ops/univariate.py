@@ -554,13 +554,18 @@ def _passA_fn(mesh, kind, use_pallas, groups, tile_sz, L, p, nz, hps,
 
             _, c_g = lax.scan(step_fn, 0, (s_a, st_a, ys_a))
             rows.append(c_g)
-        return jnp.concatenate(rows)
+        out = jnp.concatenate(rows)
+        if mesh is not None:
+            # device-major gather -> replicated: every process (multi-host)
+            # reads the full count table locally
+            out = lax.all_gather(out, "d", tiled=True)
+        return out
 
     if mesh is None:
         return jax.jit(body)
     return jax.jit(jax.shard_map(body, mesh=mesh,
                                  in_specs=(P(),) * (n_data + 1),
-                                 out_specs=P("d"), check_vma=False))
+                                 out_specs=P(), check_vma=False))
 
 
 @lru_cache(maxsize=8)
@@ -655,6 +660,8 @@ def _passB_fn(mesh, kind, use_pallas, groups, caps, tile_sz, L, p, nz, hps,
                 sts.append(cs_g.ravel())
             recounts.append(rc_g)
         recount = jnp.concatenate(recounts)
+        if mesh is not None:
+            recount = lax.all_gather(recount, "d", tiled=True)
         X_all = jnp.concatenate(Xs)
         Y_all = jnp.concatenate(Ys)
         lp_all = jnp.concatenate(lps)
@@ -700,7 +707,7 @@ def _passB_fn(mesh, kind, use_pallas, groups, caps, tile_sz, L, p, nz, hps,
         return jax.jit(body)
     return jax.jit(jax.shard_map(body, mesh=mesh,
                                  in_specs=(P(),) * (n_data + 3),
-                                 out_specs=(P(), P(), P("d")),
+                                 out_specs=(P(), P(), P()),
                                  check_vma=False))
 
 
@@ -858,9 +865,9 @@ def pw_univar_neighbors(
     def _put(arr, put_dtype=None):
         x = jnp.asarray(arr, dtype=put_dtype or dtype)
         if mesh is not None:
-            from ..parallel.mesh import replicated
+            from ..parallel.mesh import put_replicated
 
-            x = jax.device_put(x, replicated(mesh))
+            x = put_replicated(x, mesh)
         return x
 
     if isdiscrete(test_name):
@@ -890,11 +897,10 @@ def pw_univar_neighbors(
         else:
             data_j = _put(data)
         if mesh is not None:
-            from ..parallel.mesh import replicated
+            from ..parallel.mesh import put_replicated
 
             lvl_j, mv_j = (
-                jax.device_put(jnp.asarray(a), replicated(mesh))
-                for a in (levels_np, maxv_np)
+                put_replicated(a, mesh) for a in (levels_np, maxv_np)
             )
             mesh_args = ((data_jT, data_j, marg, lvl_j, mv_j) if use_pallas
                          else (data_j, lvl_j, mv_j))

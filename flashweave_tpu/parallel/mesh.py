@@ -37,6 +37,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_replicated(x, mesh: Mesh):
+    """Place a host array replicated over the mesh, multi-process safe.
+
+    Single-process: plain device_put.  Multi-process (the mesh spans hosts):
+    every process holds the full array locally, so the replicated global
+    Array assembles from process-local data without any transfer between
+    hosts."""
+    sh = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+
 def col_sharded(mesh: Mesh) -> NamedSharding:
     """(n, p) arrays sharded over the variable axis."""
     return NamedSharding(mesh, P(None, "d"))

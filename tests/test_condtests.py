@@ -112,3 +112,72 @@ def test_masked_cor_chunked_matches_direct(norm_data, monkeypatch):
     for (C1, n1), (C2, n2) in zip(direct, chunked):
         assert n1 == n2
         np.testing.assert_allclose(C1, C2, atol=1e-10)
+
+
+@requires_reference_data
+def test_fz_device_cor_matches_host(norm_data):
+    """The device-resident correlation engine (gather + on-device pcor DP,
+    the p~100k-scale path that avoids the 80 GB host matrix) must reproduce
+    the host float64 recursion bit-for-bit at prec=64."""
+    data = norm_data["fz"]
+    C = np.asarray(uv.cor_matrix(np.asarray(data, np.float64)),
+                   dtype=np.float64)
+    host = CondTestEngine(data, "fz", 3, cor_mat=C, hps=5, n_obs_min=20)
+    dev = CondTestEngine(data, "fz", 3, hps=5, n_obs_min=20)
+    assert dev.cor_device and not host.cor_device
+    rng = np.random.default_rng(0)
+    B, p = 128, data.shape[1]
+    X = rng.integers(0, p, B).astype(np.int32)
+    Y = (X + 1 + rng.integers(0, p - 1, B).astype(np.int32)) % p
+    Zs = rng.integers(0, p, (B, 3)).astype(np.int32)
+    kv = rng.integers(0, 4, B).astype(np.int32)
+    s_dev, p_dev, df_dev, suff_dev = dev.fz_tests_raw(X, Y, Zs, kv)
+    s_host, p_host, df_host, suff_host = host.fz_tests_from_cor_raw(
+        C, X.astype(np.int64), Y.astype(np.int64), Zs.astype(np.int64), kv,
+        host.n)
+    # XLA may contract a*b-c into FMA inside the device DP, so agreement
+    # is to the last ulp, not bit-exact
+    np.testing.assert_allclose(s_dev, s_host, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(p_dev, np.asarray(p_host), rtol=1e-9,
+                               atol=1e-300)
+    np.testing.assert_array_equal(suff_dev, suff_host)
+
+
+def test_strata_compaction_matches_full_width():
+    """The ZMapper-equivalent occupied-strata compaction (L=8, max_k=3:
+    512 -> n/hps-capped histogram width) must not change any statistic:
+    stratum identity is irrelevant, and tests whose occupied count exceeds
+    the cap are exactly the ones the power check kills."""
+    rng = np.random.default_rng(5)
+    n, p, max_k = 400, 40, 3
+    # mixed levels like OTUs + many-level meta variables: mostly 3-level
+    # columns plus a few 8-level ones drive S = 8^3 = 512 while the
+    # n/hps cap holds the histogram width at 81
+    data = rng.integers(0, 3, (n, p)).astype(np.float64)
+    data[:, -4:] = rng.integers(0, 8, (n, 4))
+    data[rng.random((n, p)) < 0.3] = 0.0
+    lv, mx = get_levels(data), get_max_vals(data)
+    # hps=1 keeps the n/hps compaction cap below S while leaving low-k
+    # tests sufficiently powered (the reference sizes its table at the
+    # GLOBAL max level, reference src/types.jl:109-116 + tests.jl:201-211,
+    # so an 8-level meta column raises every test's cell count)
+    eng = CondTestEngine(data, "mi_nz", max_k, levels=lv, max_vals=mx,
+                         hps=1, n_obs_min=10)
+    assert eng.S_hist < eng.S, (eng.S_hist, eng.S)   # compaction active
+    # full-width control engine: force the uncompacted histogram
+    full = CondTestEngine(data, "mi_nz", max_k, levels=lv, max_vals=mx,
+                          hps=1, n_obs_min=10)
+    full.S_hist = full.S
+    full.pack2 = eng.pack2
+    B = 64
+    X = rng.integers(0, p, B).astype(np.int32)
+    Y = (X + 1 + rng.integers(0, p - 1, B).astype(np.int32)) % p
+    Zs = rng.integers(0, p, (B, max_k)).astype(np.int32)
+    kv = rng.integers(0, max_k + 1, B).astype(np.int32)
+    got = eng.mi_tests_raw(X, Y, Zs, kv)
+    exp = full.mi_tests_raw(X, Y, Zs, kv)
+    for a, b in zip(got, exp):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=1e-12, atol=0)
+    assert got[3].any() and (~got[3]).any()   # both outcomes exercised

@@ -1,0 +1,99 @@
+"""2-process multi-host validation (reference scale-out contract:
+README.md:185-216).
+
+Launches two REAL OS processes that join one JAX distributed runtime over
+gloo CPU collectives (2 virtual devices each -> a 4-device global mesh) and
+run the SAME shard_map programs as single-host: the univariate two-pass
+extraction and a conditional mega-batch.  Process 0's results must equal the
+single-process reference computed in this test -- turning the "the
+collective layout is DCN-valid" argument into executed evidence.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+WORKER = os.path.join(HERE, "_distributed_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _reference_results():
+    """Single-process (8-device virtual mesh of THIS process) expectation,
+    same data/batches as the worker."""
+    from flashweave_tpu.ops import univariate as uv
+    from flashweave_tpu.ops.condtests import CondTestEngine
+    from flashweave_tpu.utils.misc import get_levels, get_max_vals
+
+    rng = np.random.default_rng(3)
+    n, p = 128, 96
+    base = rng.integers(0, 3, (n, p // 4)).astype(np.int8)
+    data = np.repeat(base, 4, axis=1)
+    flip = rng.random((n, p)) < 0.4
+    data = np.where(flip, rng.integers(0, 3, (n, p), dtype=np.int8),
+                    data).astype(np.float64)
+    lv, mx = get_levels(data), get_max_vals(data)
+    nbrs = uv.pw_univar_neighbors(data, "mi_nz", alpha=0.05, n_obs_min=10,
+                                  levels=lv, max_vals=mx)
+    pairs = sorted(
+        (T, Y, st, pv) for T, d in nbrs.items() for Y, (st, pv) in d.items()
+        if T < Y
+    )
+    engine = CondTestEngine(data, "mi_nz", 3, levels=lv, max_vals=mx,
+                            hps=5, n_obs_min=10)
+    B = 300
+    X = rng.integers(0, p, B).astype(np.int32)
+    Y = (X + 1 + rng.integers(0, p - 1, B).astype(np.int32)) % p
+    Zs = rng.integers(0, p, (B, 3)).astype(np.int32)
+    kv = rng.integers(0, 4, B).astype(np.int32)
+    stat, pval, df, suff = engine.mi_tests_raw(X, Y, Zs, kv)
+    return pairs, stat, pval, df, suff
+
+
+def test_two_process_parity(tmp_path):
+    out = str(tmp_path / "dist_out.npz")
+    port = _free_port()
+    env_base = {
+        k: v for k, v in os.environ.items()
+        if not k.startswith(("JAX_", "XLA_"))
+    }
+    procs = []
+    for pid in range(2):
+        env = dict(env_base)
+        env.update(
+            FLASHWEAVE_COORDINATOR=f"127.0.0.1:{port}",
+            FLASHWEAVE_NUM_PROCESSES="2",
+            FLASHWEAVE_PROCESS_ID=str(pid),
+            FLASHWEAVE_TEST_OUT=out,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        ))
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o.decode(errors="replace")[-4000:]
+    assert os.path.exists(out)
+    got = np.load(out)
+
+    exp_pairs, stat, pval, df, suff = _reference_results()
+    exp_arr = np.array(exp_pairs, dtype=np.float64).reshape(-1, 4)
+    assert got["pairs"].shape == exp_arr.shape
+    np.testing.assert_allclose(got["pairs"], exp_arr, rtol=1e-10, atol=0)
+    np.testing.assert_allclose(got["stat"], stat, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(got["pval"], pval, rtol=1e-10, atol=0)
+    np.testing.assert_array_equal(got["df"], df)
+    np.testing.assert_array_equal(got["suff"], suff)

@@ -103,9 +103,14 @@ def test_pcor_recursive_fits_iterative(hmp_small, test_name):
 def test_learn_network_end_to_end(hmp_small):
     # reference: test/learning.jl:276-316 (fz mode)
     exp = expected_graph("fz", 3)
+    # single_il: deterministic interleaving so the strict nbr_diff=0 bar
+    # applies (the auto multi_il mode interleaves feed-forward like the
+    # reference's nondeterministic multi-process mode and is golden-tested
+    # with its own looser tolerances in test_lgl_backend_matches_goldens)
     net = learn_network(
         hmp_small, sensitive=True, heterogeneous=False, max_k=3,
         track_rejections=True, verbose=False, n_obs_min=-1, prec=64,
+        parallel_mode="single_il",
     )
     pred = get_graph(net)
     assert compare_graph_results(
