@@ -7,9 +7,14 @@ per-level max-priority queues of p-values, with optional branch cutting
 (a subset element only spawns deeper branches if its p-value exceeds the
 parent's, or the level queue is still near-empty).
 
-Tests are requested one at a time (the enumeration order is inherently
-sequential); the scheduler still batches across concurrently searching
-targets.  Note: for fz_nz the reference's bnb path reads the pre-allocated
+The enumeration is inherently sequential, but every FRONTIER (the sibling
+extensions of one prefix against the current pool) ships as one batched
+device request consumed in order with early exit -- over the ~100 ms-latency
+tunnel this collapses O(tests) round-trips into O(frontiers), with decisions
+identical to one-at-a-time enumeration.  The speedup tracks frontier width:
+wide candidate pools batch fully; reject-on-first-test frontiers stay
+inherently sequential.
+Note: for fz_nz the reference's bnb path reads the pre-allocated
 (all-zero) correlation matrix because cor_subset! only runs in the non-bnb
 test_subsets (src/tests.jl:303-307) -- effectively broken upstream; here the
 per-pair masked correlation is computed first, which preserves the documented
@@ -78,30 +83,49 @@ def bnb_test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
         if cfg.n_obs_min > n_obs:
             return TestResult(0.0, 1.0, 0, False), (), 0, float("nan")
 
-    def eval_one(Zs):
-        k = len(Zs)
-        Zarr = np.zeros((1, cfg.max_k), np.int32)
-        Zarr[0, :k] = Zs
+    def eval_pool(Zs_prefix, pool):
+        """Evaluate ALL sibling extensions Zs_prefix + (Z,) of the current
+        frontier pool as ONE device request.  Results are consumed
+        sequentially in pool order with early exit, so decisions and
+        num_tests match the one-test-at-a-time enumeration exactly; wasted
+        post-exit evaluations are the price of collapsing O(tests) tunnel
+        round-trips (~100 ms each) into O(frontiers)."""
+        nb = len(pool)
+        kpre = len(Zs_prefix)
+        Zarr = np.zeros((nb, cfg.max_k), np.int32)
+        if kpre:
+            Zarr[:, :kpre] = Zs_prefix
+        Zarr[:, kpre] = pool
+        kv = np.full(nb, kpre + 1, np.int32)
         if cfg.discrete:
-            stat, pval, df, suff = yield (
-                "mi", T, cand, Zarr, np.array([k], np.int32))
-            return TestResult(float(stat[0]), float(pval[0]), int(df[0]),
-                              bool(suff[0]))
-        if not cfg.nz and getattr(engine, "cor_device", False):
+            got = yield ("mi", T, cand, Zarr, kv)
+            if len(got) == 5:
+                # round-scheduler response defers p-values behind a digest;
+                # BNB consumes out of enumeration order, so compute them
+                from ..ops import statfuns as sf
+
+                stat, df, nobs, suff, _dig = got
+                pval = np.where(suff, sf.mi_pval(stat, df, nobs), 1.0)
+            else:
+                stat, pval, df, suff = got
+        elif not cfg.nz and getattr(engine, "cor_device", False):
             # fz against the device-resident correlation matrix
-            stat, pval, df, suff = yield (
-                "fz", T, cand, Zarr, np.array([k], np.int32))
-            return TestResult(float(stat[0]), float(pval[0]), int(df[0]),
-                              bool(suff[0]))
-        if positions is None:
-            pos_X, pos_Y = np.array([T]), np.array([cand])
-            pos_Z = Zarr.astype(np.int64)
+            stat, pval, df, suff = yield ("fz", T, cand, Zarr, kv)
         else:
-            pos_X = np.array([positions[T]])
-            pos_Y = np.array([positions[cand]])
-            pos_Z = np.array([[positions.get(int(v), 0) for v in Zarr[0]]])
-        return engine.fz_tests_from_cor(mcor, pos_X, pos_Y, pos_Z,
-                                        np.array([k]), n_obs)[0]
+            if positions is None:
+                pos_X = np.full(nb, T, np.int64)
+                pos_Y = np.full(nb, cand, np.int64)
+                pos_Z = Zarr.astype(np.int64)
+            else:
+                pos_X = np.full(nb, positions[T], np.int64)
+                pos_Y = np.full(nb, positions[cand], np.int64)
+                pos_Z = np.array(
+                    [[positions.get(int(v), 0) for v in row] for row in Zarr]
+                )
+            stat, pval, df, suff = engine.fz_tests_from_cor_raw(
+                mcor, pos_X, pos_Y, pos_Z, kv, n_obs)
+        return [TestResult(float(stat[j]), float(pval[j]), int(df[j]),
+                           bool(suff[j])) for j in range(nb)]
 
     max_k = min(cfg.max_k, len(Z_total))
     num_tests = 0
@@ -113,13 +137,11 @@ def bnb_test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
     Zs: Tuple[int, ...] = ()
     ref_pval = -1.0
     Z_pool = list(Z_total)
+    pool_res = None
     pool_idx = 0
 
     while True:
-        if pool_idx < len(Z_pool):
-            Z = Z_pool[pool_idx]
-            pool_idx += 1
-        else:
+        if pool_idx >= len(Z_pool):
             # backtrack to a queue with >= 2 entries (reference:
             # src/types.jl:362-368)
             while len(qs[i - 1]) < 2:
@@ -133,14 +155,17 @@ def bnb_test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
             ref_pval = pval if cut_branches else -1.0
             i += 1
             Z_pool = qs[i - 2].keys()
+            pool_res = None
             pool_idx = 0
             if not Z_pool:
                 continue
-            Z = Z_pool[pool_idx]
-            pool_idx += 1
+        if pool_res is None:
+            pool_res = yield from eval_pool(Zs, Z_pool)
+        Z = Z_pool[pool_idx]
+        res = pool_res[pool_idx]
+        pool_idx += 1
 
         Zs_test = Zs + (Z,)
-        res = yield from eval_one(Zs_test)
         num_tests += 1
         # queue admission (reference: src/types.jl:309-320)
         if i < max_k and res.suff_power and (

@@ -363,3 +363,45 @@ def test_scan_digest_matches_sequential_scan():
                 assert epv[i] == p[e_ref] or (
                     np.isnan(epv[i]) and np.isnan(p[e_ref])
                 ), (trial, i)
+
+
+def test_bnb_frontier_batching():
+    """The BNB enumerator must issue one device request per FRONTIER (the
+    sibling extensions of a prefix), not per test -- each round-trip costs
+    ~100 ms over the tunneled chip.  With an all-significant pool the
+    level-1 frontier is a single batched request; decisions stay identical
+    to one-at-a-time enumeration (the smoke tests above cover networks)."""
+    import numpy as np
+
+    from flashweave_tpu.learning.bnb import bnb_test_subsets_gen
+    from flashweave_tpu.learning.hiton import HitonConfig
+
+    cfg = HitonConfig(test_name="mi", max_k=3, alpha=0.05)
+    Z_total = list(range(2, 14))
+
+    requests = []
+
+    def respond(req):
+        kind, T, cand, Zarr, kv = req
+        requests.append(len(kv))
+        B = len(kv)
+        # every subset significant and well-powered
+        return (np.full(B, 0.5), np.full(B, 1e-6),
+                np.full(B, 4, np.int64), np.ones(B, bool))
+
+    gen = bnb_test_subsets_gen(0, 1, Z_total, cfg, engine=None,
+                               cut_branches=True)
+    resp = None
+    while True:
+        try:
+            req = gen.send(resp)
+        except StopIteration as stop:
+            res, Zs, num_tests, _ = stop.value
+            break
+        resp = respond(req)
+
+    n_tests = sum(requests)
+    assert num_tests == n_tests          # all-significant: nothing wasted
+    assert requests[0] == len(Z_total)   # whole level-1 frontier in one go
+    # one request per frontier, far fewer than one per test
+    assert len(requests) * 4 <= n_tests, (len(requests), n_tests)
