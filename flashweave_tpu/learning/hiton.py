@@ -396,6 +396,16 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
 SPEC_WINDOW_MAX = 32
 
 
+def fast_mode(cfg: HitonConfig) -> bool:
+    """True when per-candidate results can be consumed as bare decisions
+    (exit index + weakest stat/pval): nothing to record for rejections, no
+    debug tracing, and the max_tests budget can't cut a window chunk.  The
+    scheduler ships minimal per-candidate digests in this mode (computed on
+    device on TPU); the generator's superfast consume reads them directly."""
+    return (not cfg.track_rejections and cfg.debug == 0
+            and (cfg.max_tests <= 0 or cfg.max_tests > SUBSET_CHUNK))
+
+
 def _decide(cfg: HitonConfig, phase: str, cand: int, res, lowest_Zs,
             num_tests, frac, accepted, accepted_dict, support_dict,
             rej_dict) -> None:
@@ -551,12 +561,8 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
         #    accepted with the weakest result) -- rejected candidates cost
         #    no per-candidate host work at all.  Validity per candidate:
         #    its build-time conditioning list must equal the live one ------
-        if (discrete and not cfg.track_rejections and debug == 0 and cands_w
-                and (cfg.max_tests <= 0 or cfg.max_tests > (
-                    len(kvec) if shared
-                    else max(len(k) for k in kvec_parts)))):
-            stat_a = got[0]
-            offs, exit_e, w_loc, maxp = got[4], got[5], got[6], got[7]
+        if discrete and fast_mode(cfg) and cands_w:
+            exit_e, wstat, wpval = got
             gi = 0
             wasted = False
             for (cand, Zs_build, has_req, _leg) in items:
@@ -576,10 +582,9 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
                         accepted = Zs_now
                     if has_req:
                         if int(exit_e[gi]) < 0:
-                            w = int(offs[gi]) + int(w_loc[gi])
                             accepted.append(cand)
-                            accepted_dict[cand] = (float(stat_a[w]),
-                                                   float(maxp[gi]))
+                            accepted_dict[cand] = (float(wstat[gi]),
+                                                   float(wpval[gi]))
                             last_accept = True
                         else:
                             if phase == "E" and not cfg.fast_elim:
@@ -853,7 +858,7 @@ def si_hiton_pc(T: int, data, test_name: str = "mi", **kwargs) -> HitonState:
                             n_obs_min=cfg.n_obs_min)
     from .scheduler import Dispatcher
 
-    dispatcher = Dispatcher(engine, cfg.alpha)
+    dispatcher = Dispatcher(engine, cfg.alpha, fast=fast_mode(cfg))
     gen = si_hiton_pc_gen(T, cfg, engine, univar[T])
     resp = None
     while True:

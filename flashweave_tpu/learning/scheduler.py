@@ -38,7 +38,7 @@ from typing import Dict, List, Optional, Sequence, Set
 import numpy as np
 
 from ..types import HitonState, NbrStatDict
-from .hiton import HitonConfig, SearchControl, si_hiton_pc_gen
+from .hiton import HitonConfig, SearchControl, fast_mode, si_hiton_pc_gen
 
 
 def _scan_digest(stat, df, n_obs, suff, offsets, counts, alpha):
@@ -224,7 +224,7 @@ class RoundScheduler:
         self.sequential = sequential
         self.adj: Dict[int, Set[int]] = {}
         self.n_edges = 0
-        self.dispatcher = Dispatcher(engine, cfg.alpha)
+        self.dispatcher = Dispatcher(engine, cfg.alpha, fast=fast_mode(cfg))
 
     # -- graph tracking (reference: src/interleaved.jl:101-141) -------------
 
@@ -426,9 +426,14 @@ class Dispatcher:
     digests.  Shared by the round scheduler and the standalone si_hiton_pc
     driver."""
 
-    def __init__(self, engine, alpha: float):
+    def __init__(self, engine, alpha: float, fast: bool = False):
         self.engine = engine
         self.alpha = alpha
+        # fast mode (hiton.fast_mode): speculative windows consume bare
+        # decisions, so miwin responses are minimal per-candidate digests
+        # (exit index, weakest stat, weakest pval) -- computed ON DEVICE
+        # when the engine supports it, else from the host digest
+        self.fast = fast
 
     def one(self, req):
         kind = req[0]
@@ -525,14 +530,21 @@ class Dispatcher:
                 raise ValueError(f"unknown request kind {kind}")
 
         mi_h = None
+        dev_digest = (self.fast and mi_parts
+                      and getattr(self.engine, "dev_digest", False)
+                      and all(k != "mi" for _, k, _ in mi_slots))
         if mi_parts:
             Xs = np.concatenate([p[0] for p in mi_parts])
             Ys = np.concatenate([p[1] for p in mi_parts])
             Zs = np.concatenate([p[2] for p in mi_parts])
             ks = np.concatenate([p[3] for p in mi_parts])
             counts = np.concatenate(mi_counts)
-            mi_h = (self.engine.mi_tests_begin(Xs, Ys, Zs, ks), mi_slots,
-                    counts)
+            if dev_digest:
+                handle = self.engine.mi_tests_begin_digest(
+                    Xs, Ys, Zs, ks, counts, self.alpha)
+            else:
+                handle = self.engine.mi_tests_begin(Xs, Ys, Zs, ks)
+            mi_h = (handle, mi_slots, counts, dev_digest)
         fz_h = None
         if fz_parts:
             Xs = np.concatenate([p[0] for p in fz_parts])
@@ -552,13 +564,25 @@ class Dispatcher:
         views, each with precomputed per-candidate early-exit/weakest
         digests."""
         mi_h, fz_h, mcor_h = bundle
-        if mi_h is not None:
-            handle, mi_slots, counts = mi_h
+        if mi_h is not None and mi_h[3]:
+            # on-device digest: one tiny fetch of per-candidate decisions
+            handle, mi_slots, counts, _ = mi_h
+            exit_e, wstat, wpval = self.engine.mi_tests_finish_digest(handle)
+            ri = 0
+            for T, kind, w in mi_slots:
+                responses[T] = (exit_e[ri:ri + w], wstat[ri:ri + w],
+                                wpval[ri:ri + w])
+                ri += w
+        elif mi_h is not None:
+            handle, mi_slots, counts, _ = mi_h
             stat, df, n_obs, suff = self.engine.mi_tests_finish_lazy(handle)
             offsets = np.zeros(len(counts), np.int64)
             np.cumsum(counts[:-1], out=offsets[1:])
             exit_e, w_loc, maxp, epv = _scan_digest(
                 stat, df, n_obs, suff, offsets, counts, self.alpha)
+            if self.fast:
+                # minimal per-candidate digests for the superfast consume
+                wstat = stat[offsets + np.clip(w_loc, 0, None)]
             ri = 0                      # digest row cursor
             for T, kind, w in mi_slots:
                 e0 = int(offsets[ri])
@@ -568,6 +592,9 @@ class Dispatcher:
                                     suff[e0:e1],
                                     (exit_e[ri], w_loc[ri], maxp[ri],
                                      epv[ri]))
+                elif self.fast:
+                    responses[T] = (exit_e[ri:ri + w], wstat[ri:ri + w],
+                                    maxp[ri:ri + w])
                 else:
                     responses[T] = (stat[e0:e1], df[e0:e1], n_obs[e0:e1],
                                     suff[e0:e1], offsets[ri:ri + w] - e0,

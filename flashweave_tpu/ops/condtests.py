@@ -39,6 +39,9 @@ from ..types import TestResult
 # batch-size buckets bound the jit cache (requests are padded up)
 BATCH_BUCKETS = (64, 256, 1024, 4096)
 
+# test hook: exercise the on-device digest path on the CPU mesh
+FORCE_DEV_DIGEST = False
+
 # running count of conditional CI tests dispatched (bench/diagnostics)
 N_TESTS_DISPATCHED = 0
 
@@ -161,6 +164,69 @@ def _sharded_mi_cond_fn(mesh, Bloc, max_k, L, S, nz, pack2):
         gathered, mesh=mesh,
         in_specs=(P(), P(), P(), P("d"), P("d"), P("d"), P("d"), P()),
         out_specs=P(), check_vma=False,
+    ))
+
+
+@lru_cache(maxsize=8)
+def _mi_cond_digest_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz, pack2, NC,
+                            max_df):
+    """Scan kernel + ON-DEVICE per-candidate digest.
+
+    Segment reductions over the mega-batch produce the three scalars the
+    fast consume needs per candidate -- first-non-significant index,
+    weakest-significant stat, weakest p-value -- so only O(candidates)
+    bytes cross the tunnel instead of O(tests) packed results (which stay
+    device-resident for fallback fetch).  Significance classifies by the
+    closed-form log p-value; the weakest tie-break (bit-equal log-p ->
+    LAST index) matches the host digest's semantics at working precision.
+    """
+    def fn(data, levels, maxv, X, Y, Zs, kvec, hps, segid, locidx, offsets,
+           la):
+        def body(carry, seg):
+            Xs, Ys, Zss, ks = seg
+            return carry, _mi_cond_kernel(data, levels, maxv, Xs, Ys, Zss,
+                                          ks, hps, Bloc, max_k, L, S, nz)
+
+        _, (stat, df, nobs, suff) = jax.lax.scan(body, 0, (X, Y, Zs, kvec))
+        if mesh is not None:
+            stat = lax.all_gather(stat, "d", axis=1, tiled=True)
+            df = lax.all_gather(df, "d", axis=1, tiled=True)
+            nobs = lax.all_gather(nobs, "d", axis=1, tiled=True)
+            suff = lax.all_gather(suff, "d", axis=1, tiled=True)
+        stat = stat.reshape(-1)
+        df = df.reshape(-1)
+        nobs = nobs.reshape(-1)
+        suff = suff.reshape(-1)
+        packed = _pack4(stat, df, nobs, suff, pack2=pack2)
+        logp = sf.mi_logpval_smalldf(stat, df, nobs, max_df, xp=jnp)
+        logp = lax.optimization_barrier(jnp.where(suff, logp, 0.0))
+        sig = logp < la
+        BIG = jnp.int32(1 << 30)
+        exit_loc = jax.ops.segment_min(
+            jnp.where(sig, BIG, locidx), segid, num_segments=NC,
+            indices_are_sorted=True)
+        exit_e = jnp.where(exit_loc >= BIG, -1, exit_loc)
+        M = jax.ops.segment_max(
+            jnp.where(sig, logp, -jnp.inf), segid, num_segments=NC,
+            indices_are_sorted=True)
+        is_w = sig & (logp == jnp.take(M, segid))
+        w = jax.ops.segment_max(
+            jnp.where(is_w, locidx, -1), segid, num_segments=NC,
+            indices_are_sorted=True)
+        widx = offsets + jnp.clip(w, 0, None)
+        wstat = jnp.take(stat, jnp.clip(widx, 0, stat.shape[0] - 1))
+        fdt = stat.dtype
+        digest = jnp.stack([exit_e.astype(fdt), wstat.astype(fdt),
+                            jnp.exp(M).astype(fdt)])
+        return packed, digest
+
+    if mesh is None:
+        return jax.jit(fn)
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(None, "d"), P(None, "d"), P(None, "d"),
+                  P(None, "d"), P(), P(), P(), P(), P()),
+        out_specs=(P(), P()), check_vma=False,
     ))
 
 
@@ -359,6 +425,22 @@ class CondTestEngine:
             # histogram width never needs to exceed it (nor n, the row count)
             cap = self.n if hps <= 0 else min(self.n, int(self.n // hps) + 1)
             self.S_hist = min(self.S, max(int(cap), 1))
+            # on-device digest path (opt-in): per-candidate decisions are
+            # computed by segment reductions on device and ship as one tiny
+            # fetch.  Measured on the tunneled v5e it is warm-neutral (the
+            # host digest + packed fetch it replaces cost ~0.3 s at 10k
+            # OTUs) but adds ~100 s of one-time XLA compiles (the
+            # closed-form log-p unrolls one branch per df value), so it
+            # stays off unless requested -- the tradeoff flips on hardware
+            # with local compilation or for multi-host runs where every
+            # process reads the replicated digest locally.
+            import os as _os
+
+            self.dev_digest = (
+                (_os.environ.get("FLASHWEAVE_DEV_DIGEST") == "1"
+                 or FORCE_DEV_DIGEST)
+                and (self.L - 1) ** 2 * self.S_hist <= 128
+            )
             # narrow (2, B) result packing needs df < 2^10 (f32 path) and
             # n_obs < 2^20
             self.pack2 = self.n < (1 << 20) and (
@@ -434,6 +516,57 @@ class CondTestEngine:
         out, B, Bp = handle
         stat, df, n_obs, suff = self._unpack(out, Bp)
         return stat[:B], df[:B], n_obs[:B], suff[:B]
+
+    def mi_tests_begin_digest(self, X, Y, Zs, kvec, counts, alpha):
+        """Launch B conditional MI tests plus their ON-DEVICE per-candidate
+        digest (counts: per-candidate test counts; candidates are contiguous
+        segments of the batch).  Returns a handle for
+        mi_tests_finish_digest."""
+        global N_TESTS_DISPATCHED
+        B = len(X)
+        N_TESTS_DISPATCHED += B
+        seg = BATCH_BUCKETS[-1]
+        ndev = 1 if self.mesh is None else self.mesh.devices.size
+        nseg = _nseg_bucket(-(-B // seg))
+        Bp = nseg * seg
+        NC_real = len(counts)
+        NCp = 1 << max(int(NC_real).bit_length(), 8)   # > NC_real
+        Xp = np.zeros(Bp, np.int32); Xp[:B] = X
+        Yp = np.zeros(Bp, np.int32); Yp[:B] = Y
+        Zp = np.zeros((Bp, self.max_k), np.int32); Zp[:B] = Zs
+        kp = np.zeros(Bp, np.int32); kp[:B] = kvec
+        offsets = np.zeros(NC_real, np.int64)
+        np.cumsum(np.asarray(counts[:-1], np.int64), out=offsets[1:])
+        segid = np.full(Bp, NCp - 1, np.int32)
+        segid[:B] = np.repeat(np.arange(NC_real, dtype=np.int32),
+                              np.asarray(counts, np.int64))
+        locidx = np.zeros(Bp, np.int32)
+        locidx[:B] = np.arange(B, dtype=np.int64) - offsets[segid[:B]]
+        offs_p = np.zeros(NCp, np.int32)
+        offs_p[:NC_real] = offsets
+        fdt = (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        fn = _mi_cond_digest_scan_fn(
+            self.mesh, nseg, seg // ndev, self.max_k, self.L, self.S_hist,
+            self.nz, self.pack2, NCp, (self.L - 1) ** 2 * self.S_hist)
+        import math as _math
+
+        packed, digest = fn(
+            self.data_j, self.levels_j, self.maxv_j,
+            Xp.reshape(nseg, seg), Yp.reshape(nseg, seg),
+            Zp.reshape(nseg, seg, self.max_k), kp.reshape(nseg, seg),
+            float(self.hps), jnp.asarray(segid), jnp.asarray(locidx),
+            jnp.asarray(offs_p), jnp.asarray(_math.log(alpha), fdt))
+        return (packed, digest, B, Bp, NC_real)
+
+    def mi_tests_finish_digest(self, handle):
+        """(exit_e, weakest stat, weakest pval) per candidate -- ONE tiny
+        fetch; the full packed results stay device-resident (fetch the
+        handle's first element on demand)."""
+        _packed, digest, B, Bp, NC_real = handle
+        d = np.asarray(digest)
+        return (d[0][:NC_real].astype(np.int64),
+                d[1][:NC_real].astype(np.float64),
+                d[2][:NC_real].astype(np.float64))
 
     def mi_tests_raw(self, X: np.ndarray, Y: np.ndarray, Zs: np.ndarray,
                      kvec: np.ndarray):

@@ -181,3 +181,49 @@ def test_strata_compaction_matches_full_width():
                                    np.asarray(b, np.float64),
                                    rtol=1e-12, atol=0)
     assert got[3].any() and (~got[3]).any()   # both outcomes exercised
+
+
+def test_device_digest_matches_host_digest():
+    """The on-device per-candidate digest (segment reductions over the
+    conditional mega-batch) must reproduce the host-digest network exactly:
+    same decisions, same weakest weights.  Synthetic correlated groups so
+    real conditional mega-batches flow (the HMP mi_nz table dispatches
+    none)."""
+    import flashweave_tpu.ops.condtests as ct
+    from flashweave_tpu.learning.lgl import LGL
+
+    rng = np.random.default_rng(2)
+    n, p = 256, 120
+    base = rng.integers(0, 3, (n, p // 4)).astype(np.int8)
+    data = np.repeat(base, 4, axis=1)
+    flip = rng.random((n, p)) < 0.35
+    data = np.where(flip, rng.integers(0, 3, (n, p), dtype=np.int8),
+                    data).astype(np.float64)
+
+    digest_calls = [0]
+    orig = ct.CondTestEngine.mi_tests_begin_digest
+
+    def counting(self, *a, **k):
+        digest_calls[0] += 1
+        return orig(self, *a, **k)
+
+    def run():
+        # max_k=2 bounds the per-df closed-form unroll the digest program
+        # compiles (XLA-CPU compiles are the cost here, not the math)
+        return LGL(data, test_name="mi_nz", max_k=2, parallel="single_il",
+                   time_limit=0.0, verbose=False, n_obs_min=20).graph
+
+    g_host = run()
+    old = ct.FORCE_DEV_DIGEST
+    ct.FORCE_DEV_DIGEST = True
+    ct.CondTestEngine.mi_tests_begin_digest = counting
+    try:
+        g_dev = run()
+    finally:
+        ct.FORCE_DEV_DIGEST = old
+        ct.CondTestEngine.mi_tests_begin_digest = orig
+    assert digest_calls[0] > 0, "device-digest path never dispatched"
+    e_host, e_dev = list(g_host.edges()), list(g_dev.edges())
+    assert [(u, v) for u, v, _ in e_host] == [(u, v) for u, v, _ in e_dev]
+    np.testing.assert_allclose([w for _, _, w in e_host],
+                               [w for _, _, w in e_dev], rtol=1e-9)
