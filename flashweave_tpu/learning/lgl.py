@@ -31,13 +31,12 @@ import numpy as np
 
 from ..ops import univariate as uv
 from ..ops.condtests import CondTestEngine
-from ..types import Graph, HitonState, LGLResult
+from ..types import HitonState, LGLResult
 from ..utils.misc import (
     get_levels,
     get_max_vals,
     is_zero_adjusted,
     isdiscrete,
-    iscontinuous,
     make_symmetric_graph,
     make_weights,
     maxweight,
@@ -150,7 +149,9 @@ def LGL(
 
     ``cache_pcor`` is accepted for API compatibility but has no effect: the
     batched pcor DP evaluates every recursion node of a test batch in one
-    vectorized sweep (see learn_network's documented divergences)."""
+    vectorized sweep.  ``dense_cor`` is likewise superseded: with
+    ``recursive_pcor`` the correlation matrix is always device-resident in
+    the conditioning engine (see learn_network's documented divergences)."""
     if tmp_folder:
         warnings.warn("tmp_folder currently not implemented")
     if edge_rule != "OR":

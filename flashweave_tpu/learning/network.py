@@ -126,6 +126,11 @@ def learn_network(
       nodes in a per-worker dict (src/statfuns.jl:23-75).  The batched
       pcor DP (ops/statfuns.pcor_dp) evaluates all nodes of a batch in one
       vectorized sweep, so there is nothing to cache.
+    - ``dense_cor``: the reference's toggle between a precomputed dense
+      correlation matrix and on-the-fly correlations (src/learning.jl:42-47).
+      With ``recursive_pcor`` the matrix is always DEVICE-resident in the
+      conditioning engine (f32 on TPU, no host p x p allocation), so the
+      flag has no effect.
     """
     # path-based entries
     if isinstance(data, (list, tuple)) and data and isinstance(data[0], str):
