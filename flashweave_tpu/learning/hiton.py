@@ -471,6 +471,9 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
     n_c = len(candidates)
     ci = 0
     last_accept = True   # univar-strength-sorted: accept runs come first
+    fast = discrete and fast_mode(cfg)
+    cache_a = -1         # shared-template cache: valid while len(accepted)
+    cache = None         # is unchanged ('I' only ever appends)
     while ci < n_c:
         window = min(spec, n_c - ci) if spec_able else 1
         # -- build: CHAINED speculation.  Each window assumes the last
@@ -493,17 +496,28 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
                 and accepted
                 and _subset_total(len(accepted), max_k) <= SUBSET_CHUNK):
             # reject-chain interleaving: every candidate in the window
-            # shares the SAME conditioning set -- one template serves all
+            # shares the SAME conditioning set -- one template serves all,
+            # cached across consecutive reject-windows of this target
             shared = True
-            Zs_shared = list(accepted)
-            pos, kvec = _combo_template(len(Zs_shared), max_k)
-            Zarr = np.asarray(Zs_shared, np.int32)[pos]
-            for cand in candidates[ci : ci + window]:
-                if blacklist and cand in blacklist:
-                    items.append((cand, None, False, False))
-                else:
-                    items.append((cand, Zs_shared, True, False))
-                    cands_w.append(cand)
+            if cache_a != len(accepted):
+                Zs_shared = list(accepted)
+                pos, kvec = _combo_template(len(Zs_shared), max_k)
+                Zarr = np.asarray(Zs_shared, np.int32)[pos]
+                cache_a = len(accepted)
+                cache = (Zs_shared, pos, kvec, Zarr)
+            else:
+                Zs_shared, pos, kvec, Zarr = cache
+            if fast and not blacklist:
+                # plain shared window: no per-candidate bookkeeping at all
+                cands_w = candidates[ci : ci + window]
+                items = None
+            else:
+                for cand in candidates[ci : ci + window]:
+                    if blacklist and cand in blacklist:
+                        items.append((cand, None, False, False))
+                    else:
+                        items.append((cand, Zs_shared, True, False))
+                        cands_w.append(cand)
         else:
             chain = list(accepted)
             for cand in candidates[ci : ci + window]:
@@ -561,7 +575,41 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
         #    accepted with the weakest result) -- rejected candidates cost
         #    no per-candidate host work at all.  Validity per candidate:
         #    its build-time conditioning list must equal the live one ------
-        if discrete and fast_mode(cfg) and cands_w:
+        if fast and cands_w and items is None:
+            # plain shared-I consume: within this window the accepted list
+            # can only mutate through this loop (accept / whitelist hit),
+            # and the first mutation ends the window -- no list compares
+            exit_e, wstat, wpval = got
+            gi = 0
+            wasted = False
+            for cand in cands_w:
+                if whitelist is not None and cand in whitelist:
+                    gi += 1
+                    accepted.append(cand)
+                    accepted_dict[cand] = (NAN, NAN)
+                    last_accept = True
+                elif int(exit_e[gi]) < 0:
+                    accepted.append(cand)
+                    accepted_dict[cand] = (float(wstat[gi]),
+                                           float(wpval[gi]))
+                    last_accept = True
+                    gi += 1
+                else:
+                    last_accept = False
+                    gi += 1
+                ci += 1
+                if check_clock and clock.expired() and ci < n_c:
+                    if control.converged:
+                        return accepted_dict, candidates[ci:]
+                    clock.reset()
+                if last_accept:
+                    wasted = gi < len(cands_w)
+                    break
+            spec = (max(1, spec // 2) if wasted
+                    else min(SPEC_WINDOW_MAX, spec * 2))
+            continue
+
+        if fast and cands_w:
             exit_e, wstat, wpval = got
             gi = 0
             wasted = False
