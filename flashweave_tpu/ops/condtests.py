@@ -150,7 +150,7 @@ def _pack4(stat, df, n_obs, suff, pack2=False):
 # (reference: src/learning.jl:141-144, src/interleaved.jl:90-93).
 # ---------------------------------------------------------------------------
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=16)
 def _sharded_mi_cond_fn(mesh, Bloc, max_k, L, S, nz, pack2):
     def body(data, levels, maxv, X, Y, Zs, kvec, hps):
         return _pack4(*_mi_cond_kernel(data, levels, maxv, X, Y, Zs, kvec,
@@ -230,7 +230,7 @@ def _mi_cond_digest_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz, pack2, NC,
     ))
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=16)
 def _mi_cond_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz, pack2):
     """lax.scan of the conditional MI kernel over ``nseg`` fixed-size
     segments -- ONE device dispatch per scheduler round no matter how large
@@ -262,7 +262,7 @@ def _mi_cond_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz, pack2):
     ))
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=16)
 def _sharded_masked_cor_fn(mesh, Bloc, m):
     def body(data, X, Y, VI):
         return _masked_cor_kernel(data, X, Y, VI, Bloc, m)
