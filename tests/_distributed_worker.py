@@ -71,10 +71,17 @@ def main():
     kv = rng.integers(0, 4, B).astype(np.int32)
     stat, pval, df, suff = engine.mi_tests_raw(X, Y, Zs, kv)
 
+    # sharded fz conditional kernel (device-resident correlation + pcor DP)
+    cont = np.where(data > 0, np.log1p(data), 0.0)
+    eng_fz = CondTestEngine(cont, "fz", 3, hps=5, n_obs_min=10, mesh=mesh)
+    assert eng_fz.cor_device
+    fstat, fpval, _, _ = eng_fz.fz_tests_raw(X, Y, Zs, kv)
+
     if jax.process_index() == 0:
         np.savez(out_path,
                  pairs=np.array(pairs, dtype=np.float64).reshape(-1, 4),
                  stat=stat, pval=pval, df=df, suff=suff,
+                 fstat=fstat, fpval=fpval,
                  X=X, Y=Y, Zs=Zs, kv=kv)
     # all processes must exit cleanly
     jax.distributed.shutdown()

@@ -58,7 +58,10 @@ def _reference_results():
     Zs = rng.integers(0, p, (B, 3)).astype(np.int32)
     kv = rng.integers(0, 4, B).astype(np.int32)
     stat, pval, df, suff = engine.mi_tests_raw(X, Y, Zs, kv)
-    return pairs, stat, pval, df, suff
+    cont = np.where(data > 0, np.log1p(data), 0.0)
+    eng_fz = CondTestEngine(cont, "fz", 3, hps=5, n_obs_min=10)
+    fstat, fpval, _, _ = eng_fz.fz_tests_raw(X, Y, Zs, kv)
+    return pairs, stat, pval, df, suff, fstat, fpval
 
 
 def test_two_process_parity(tmp_path):
@@ -89,7 +92,7 @@ def test_two_process_parity(tmp_path):
     assert os.path.exists(out)
     got = np.load(out)
 
-    exp_pairs, stat, pval, df, suff = _reference_results()
+    exp_pairs, stat, pval, df, suff, fstat, fpval = _reference_results()
     exp_arr = np.array(exp_pairs, dtype=np.float64).reshape(-1, 4)
     assert got["pairs"].shape == exp_arr.shape
     np.testing.assert_allclose(got["pairs"], exp_arr, rtol=1e-10, atol=0)
@@ -97,3 +100,5 @@ def test_two_process_parity(tmp_path):
     np.testing.assert_allclose(got["pval"], pval, rtol=1e-10, atol=0)
     np.testing.assert_array_equal(got["df"], df)
     np.testing.assert_array_equal(got["suff"], suff)
+    np.testing.assert_allclose(got["fstat"], fstat, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(got["fpval"], fpval, rtol=1e-9, atol=1e-300)
