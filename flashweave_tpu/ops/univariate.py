@@ -51,7 +51,10 @@ def cor_matrix(data):
     cov = xc.T @ xc
     d = jnp.sqrt(jnp.diag(cov))
     denom = d[:, None] * d[None, :]
-    return jnp.where(denom > 0, cov / jnp.where(denom > 0, denom, 1.0), jnp.nan)
+    r = jnp.where(denom > 0, cov / jnp.where(denom > 0, denom, 1.0), jnp.nan)
+    # Julia's Statistics.cor clamps to [-1, 1] (clampcor); without it an
+    # exact-copy column pair can round to 1+eps -> NaN Fisher-z p-value
+    return jnp.clip(r, -1.0, 1.0)
 
 
 @partial(jax.jit, static_argnames=("tile", "y_len"))
@@ -346,6 +349,7 @@ def _block_scores(kind, use_pallas, data_args, s, start, y0, tile_sz, ylen,
         denom = dx[:, None] * dy[None, :]
         stat = jnp.where(denom > 0, cov / jnp.where(denom > 0, denom, 1.0),
                          jnp.nan)
+        stat = jnp.clip(stat, -1.0, 1.0)     # Julia cor clampcor parity
         if n >= n_obs_min:
             # NaN correlations (zero variance) are unreliable like the host
             # path's NaN p-values
@@ -453,8 +457,9 @@ def _mesh_fz_fn(mesh, ploc):
         d_all = jnp.sqrt(ss)
         d_y = lax.dynamic_slice(d_all, (y0,), (ploc,))
         denom = d_all[:, None] * d_y[None, :]
-        return jnp.where(denom > 0, cov / jnp.where(denom > 0, denom, 1.0),
-                         jnp.nan)
+        r = jnp.where(denom > 0, cov / jnp.where(denom > 0, denom, 1.0),
+                      jnp.nan)
+        return jnp.clip(r, -1.0, 1.0)        # Julia cor clampcor parity
 
     return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=(P(),),
                                  out_specs=P(None, "d"), check_vma=False))
@@ -660,8 +665,19 @@ def _passB_fn(mesh, kind, use_pallas, groups, caps, tile_sz, L, p, nz, hps,
                 sts.append(cs_g.ravel())
             recounts.append(rc_g)
         recount = jnp.concatenate(recounts)
+        # per-group capacity check against the recount (deterministic
+        # recompute; a mismatch can only come from cross-program rounding).
+        # Compare LOCALLY (recount and caps_by_step are both (nsteps,) here)
+        # before the device-major all_gather widens recount to (ndev*nsteps,).
+        caps_by_step = jnp.concatenate([
+            jnp.full(len(steps), min(cap, -(-tile_sz * yl // CH) * CH),
+                     jnp.int32)
+            for (yl, steps), cap in zip(groups, caps)
+        ])
+        overflow = (recount > caps_by_step).any()
         if mesh is not None:
             recount = lax.all_gather(recount, "d", tiled=True)
+            overflow = lax.psum(overflow.astype(jnp.int32), "d") > 0
         X_all = jnp.concatenate(Xs)
         Y_all = jnp.concatenate(Ys)
         lp_all = jnp.concatenate(lps)
@@ -685,16 +701,6 @@ def _passB_fn(mesh, kind, use_pallas, groups, caps, tile_sz, L, p, nz, hps,
         else:
             ladj = slog
         n_sig = (ladj < la).sum()
-        # per-group capacity check against the recount (deterministic
-        # recompute; a mismatch can only come from cross-program rounding)
-        caps_by_step = jnp.concatenate([
-            jnp.full(len(steps), min(cap, -(-tile_sz * yl // CH) * CH),
-                     jnp.int32)
-            for (yl, steps), cap in zip(groups, caps)
-        ])
-        overflow = (recount > caps_by_step).any()
-        if mesh is not None:
-            overflow = lax.psum(overflow.astype(jnp.int32), "d") > 0
         packed = jnp.stack([
             Xs_.astype(it), Ys_.astype(it),
             lax.bitcast_convert_type(ladj.astype(dtype), it),
@@ -740,8 +746,9 @@ def _extract_scan(kind, data_args, mesh, use_pallas, p_int, tile_sz, slab, p,
         raise RuntimeError(
             f"{K} sub-threshold univariate pairs exceed the device "
             f"extraction budget ({EXTRACT_BUDGET}); the network is "
-            "pathologically dense at this scale -- raise alpha, enable FDR, "
-            "or use the host path (return_result=True)"
+            "pathologically dense at this scale -- raise alpha and/or keep "
+            "FDR enabled to shrink the significant set (the host condensed "
+            "path is NOT an option here: it allocates O(p^2) float64)"
         )
     # per-group caps: exact per-(device, block) candidate counts at e*
     step_counts = cnts[:, b_hat].reshape(ndev, nsteps)
@@ -750,6 +757,7 @@ def _extract_scan(kind, data_args, mesh, use_pallas, p_int, tile_sz, slab, p,
     for gi in range(len(groups)):
         c = int(step_counts[:, offs[gi]:offs[gi + 1]].max(initial=0))
         caps.append(0 if c == 0 else max(64, 1 << (c - 1).bit_length()))
+    overflowed = True
     for _ in range(3):
         fB = _passB_fn(mesh, kind, use_pallas, groups, tuple(caps), tile_sz,
                        kw["L"], p, kw["nz"], kw["hps"], kw["n_obs_min"],
@@ -760,6 +768,7 @@ def _extract_scan(kind, data_args, mesh, use_pallas, p_int, tile_sz, slab, p,
         sc = np.asarray(scal)
         n_sig = int(sc[0])
         if not int(sc[1]):
+            overflowed = False
             break
         rc = np.asarray(recount).reshape(ndev, nsteps)
         warnings.warn(
@@ -770,6 +779,14 @@ def _extract_scan(kind, data_args, mesh, use_pallas, p_int, tile_sz, slab, p,
         for gi in range(len(groups)):
             c = int(rc[:, offs[gi]:offs[gi + 1]].max(initial=0))
             caps.append(0 if c == 0 else max(64, 1 << c.bit_length()))
+    if overflowed:
+        # never silently return a truncated candidate set: dropped
+        # candidates could be BH-significant pairs
+        raise RuntimeError(
+            "univariate extraction recount still exceeds capacity after 3 "
+            "cap-doubling retries; refusing to return a truncated candidate "
+            "set (raise alpha, or report this as a compiler rounding bug)"
+        )
     # fetch a pow2-padded prefix: ONE transfer, bounded compiled slice shapes
     M_tot = int(packed.shape[1])
     ns_pad = min(max(1 << max(int(n_sig).bit_length(), 10), n_sig), M_tot)

@@ -131,6 +131,37 @@ def test_univar_mesh_extract_matches_host(test_name, force_pallas, p):
 
 
 @needs_mesh
+@pytest.mark.parametrize("test_name", ["mi_nz", "fz"])
+def test_univar_mesh_extract_multiblock_matches_host(test_name):
+    """Mesh fast path at MULTI-BLOCK geometry (p=384, tile=64 -> several
+    sweep blocks per device): the production shape every real multichip run
+    uses.  Covers the pass-B overflow check against gathered recounts
+    (regression: (ndev*nsteps,) vs (nsteps,) broadcasting crash)."""
+    mesh = get_mesh(8)
+    rng = np.random.default_rng(7)
+    n, p = 200, 384
+    if test_name.startswith("mi"):
+        data = rng.integers(0, 3, (n, p)).astype(np.float64)
+        data[rng.random((n, p)) < 0.3] = 0.0
+    else:
+        data = np.where(rng.random((n, p)) < 0.3, 0.0,
+                        rng.standard_normal((n, p)))
+    data[:, 1] = data[:, 0]
+    data[:, 3] = np.where(rng.random(n) < 0.7, data[:, 2], data[:, 3])
+    # extra signal pairs spread across blocks
+    for a, b in [(70, 250), (130, 300), (200, 383)]:
+        data[:, b] = np.where(rng.random(n) < 0.8, data[:, a], data[:, b])
+    lv = mx = None
+    if test_name.startswith("mi"):
+        lv, mx = get_levels(data.astype(int)), get_max_vals(data.astype(int))
+    host = uv.pw_univar_neighbors(data, test_name, levels=lv, max_vals=mx,
+                                  tile=64)
+    meshed = uv.pw_univar_neighbors(data, test_name, levels=lv, max_vals=mx,
+                                    tile=64, mesh=mesh)
+    _nbr_dicts_close(host, meshed)
+
+
+@needs_mesh
 @pytest.mark.parametrize("test_name", ["mi", "fz"])
 def test_lgl_mesh_matches_single(test_name):
     """mi / fz LGL over the mesh vs exact sequential single mode."""
