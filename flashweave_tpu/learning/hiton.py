@@ -27,7 +27,7 @@ from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 
-from ..types import HitonState, NbrStatDict, RejDict, TestResult
+from ..types import HitonState, NbrStatDict, PSortedNbrs, RejDict, TestResult
 
 # subsets evaluated per device round for one (target, candidate) pair
 SUBSET_CHUNK = 1024
@@ -394,6 +394,10 @@ def test_subsets_gen(T: int, cand: int, Z_total: Sequence[int],
 
 # max candidates whose subset batches ride one speculative window
 SPEC_WINDOW_MAX = 32
+# shared reject-chain windows (one template, vectorized consume) can grow
+# much deeper: a mispredicted tail costs only already-dispatched device
+# tests, no per-candidate host work
+SPEC_SHARED_MAX = 256
 
 
 def fast_mode(cfg: HitonConfig) -> bool:
@@ -458,11 +462,12 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
 
     accepted: List[int] = list(candidates) if phase == "E" else []
     discrete = cfg.discrete
-    fz_dev = (not discrete and not cfg.nz
+    nz = cfg.nz
+    fz_dev = (not discrete and not nz
               and getattr(engine, "cor_device", False))
     spec_able = (not cfg.bnb) and (
         discrete or fz_dev
-        or (cfg.nz and engine.recursive_pcor and not discrete)
+        or (nz and engine.recursive_pcor and not discrete)
     )
     check_clock = cfg.time_limit > 0.0
     debug = cfg.debug
@@ -492,7 +497,7 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
         items = []                     # (cand, Zs_build | None, has_req, legacy)
         Zarr_parts, kvec_parts = [], []
         shared = False
-        if (spec_able and not cfg.nz and phase == "I" and not mode_accept
+        if (spec_able and not nz and phase == "I" and not mode_accept
                 and accepted
                 and _subset_total(len(accepted), max_k) <= SUBSET_CHUNK):
             # reject-chain interleaving: every candidate in the window
@@ -519,8 +524,11 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
                         items.append((cand, Zs_shared, True, False))
                         cands_w.append(cand)
         else:
+            # accept-chain / E-phase builds pay per-candidate host work and
+            # mispredict at the first outcome flip -- cap them at the
+            # conservative window even when shared-window spec has grown deep
             chain = list(accepted)
-            for cand in candidates[ci : ci + window]:
+            for cand in candidates[ci : ci + min(window, SPEC_WINDOW_MAX)]:
                 if blacklist and cand in blacklist:
                     items.append((cand, None, False, False))
                     continue
@@ -544,7 +552,7 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
                 kvec_parts.append(kvec)
                 items.append((cand, Zs, True, False))
                 cands_w.append(cand)
-                if cfg.nz and not discrete:
+                if nz and not discrete:
                     varlists_w.append([T, cand] + Zs)
                 if mode_accept:
                     chain = Zs + [cand]
@@ -576,37 +584,47 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
         #    no per-candidate host work at all.  Validity per candidate:
         #    its build-time conditioning list must equal the live one ------
         if fast and cands_w and items is None:
-            # plain shared-I consume: within this window the accepted list
-            # can only mutate through this loop (accept / whitelist hit),
-            # and the first mutation ends the window -- no list compares
+            # plain shared-I consume, VECTORIZED: within this window the
+            # accepted list can only mutate through an accept (exit -1) or a
+            # live-whitelist hit, and the first mutation ends the window --
+            # so the whole decision is "find the first accepting position".
+            # Semantics identical to the former per-candidate scan; the
+            # per-candidate time-limit check coarsens to once per window
+            # (checkpoint boundaries shift by <= one window; wall-clock
+            # checkpoints are inherently timing-dependent).
             exit_e, wstat, wpval = got
-            gi = 0
-            wasted = False
-            for cand in cands_w:
-                if whitelist is not None and cand in whitelist:
-                    gi += 1
-                    accepted.append(cand)
-                    accepted_dict[cand] = (NAN, NAN)
-                    last_accept = True
-                elif int(exit_e[gi]) < 0:
-                    accepted.append(cand)
-                    accepted_dict[cand] = (float(wstat[gi]),
-                                           float(wpval[gi]))
-                    last_accept = True
-                    gi += 1
-                else:
-                    last_accept = False
-                    gi += 1
-                ci += 1
-                if check_clock and clock.expired() and ci < n_c:
-                    if control.converged:
-                        return accepted_dict, candidates[ci:]
-                    clock.reset()
-                if last_accept:
-                    wasted = gi < len(cands_w)
-                    break
-            spec = (max(1, spec // 2) if wasted
-                    else min(SPEC_WINDOW_MAX, spec * 2))
+            nw = len(cands_w)
+            acc = np.asarray(exit_e[:nw]) < 0
+            p_exit = int(np.argmax(acc)) if acc.any() else nw
+            p_wl = nw
+            wl_live = (whitelist.live_set()
+                       if hasattr(whitelist, "live_set") else whitelist)
+            if wl_live:
+                for j, cand in enumerate(cands_w[:p_exit + 1]):
+                    if cand in wl_live:
+                        p_wl = j
+                        break
+            p_acc = min(p_exit, p_wl)
+            if p_acc < nw:
+                cand = cands_w[p_acc]
+                accepted.append(cand)
+                accepted_dict[cand] = (
+                    (NAN, NAN) if p_wl <= p_exit
+                    else (float(wstat[p_acc]), float(wpval[p_acc]))
+                )
+                last_accept = True
+                ci += p_acc + 1
+                wasted = p_acc + 1 < nw
+            else:
+                last_accept = False
+                ci += nw
+                wasted = False
+            if check_clock and clock.expired() and ci < n_c:
+                if control.converged:
+                    return accepted_dict, candidates[ci:]
+                clock.reset()
+            spec = (max(2, spec // 2) if wasted
+                    else min(SPEC_SHARED_MAX, spec * 4))
             continue
 
         if fast and cands_w:
@@ -747,7 +765,8 @@ def _consume_window(T, cand, cfg, engine, got, gi, Zarr, kvec, a):
     test_subsets_gen."""
     if cfg.discrete:
         stat, df, n_obs, suff, offsets, exit_e, w_loc, maxp, epv = got
-        sl = slice(offsets[gi], offsets[gi] + len(kvec))
+        o = offsets[gi]
+        sl = slice(o, o + len(kvec))
         chunk = (stat[sl], df[sl], n_obs[sl], suff[sl],
                  (exit_e[gi], w_loc[gi], maxp[gi], epv[gi]))
     elif not cfg.nz:
@@ -824,13 +843,21 @@ def si_hiton_pc_gen(T: int, cfg: HitonConfig, engine,
             # univar-p-sorted candidates; stable argsort keeps insertion
             # order on ties like the previous sorted() (vectorized -- per-
             # target Python sorts dominated large runs)
-            nn = len(univar_nbrs)
-            cs = np.fromiter((c for c in univar_nbrs), np.int64, count=nn)
-            pv = np.fromiter((v[1] for v in univar_nbrs.values()), np.float64,
-                             count=nn)
-            keep = pv < cfg.alpha
-            cs, pv = cs[keep], pv[keep]
-            candidates = cs[np.argsort(pv, kind="stable")].tolist()
+            if isinstance(univar_nbrs, PSortedNbrs):
+                # extraction-built dicts: insertion order IS the stable
+                # ascending-p sort, and every entry is already significant
+                candidates = list(univar_nbrs)
+            else:
+                nn = len(univar_nbrs)
+                cs = np.fromiter((c for c in univar_nbrs), np.int64, count=nn)
+                pv = np.fromiter((v[1] for v in univar_nbrs.values()),
+                                 np.float64, count=nn)
+                keep = pv < cfg.alpha
+                cs, pv = cs[keep], pv[keep]
+                if pv.size <= 1 or not (np.diff(pv) < 0).any():
+                    candidates = cs.tolist()
+                else:
+                    candidates = cs[np.argsort(pv, kind="stable")].tolist()
             candidates_unchecked = []
             prev_TPC = {}
         if not candidates and not candidates_unchecked and not prev_TPC:

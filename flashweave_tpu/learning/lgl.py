@@ -47,8 +47,41 @@ from .scheduler import RoundScheduler
 VALID_PARALLEL = ("single", "single_il", "multi_ep", "multi_il")
 
 
+def _device_levels(data):
+    """(data_dev int8, levels, max_vals) sharing ONE int8 table upload with
+    the univariate pass and the conditioning engine -- or None when the data
+    is not small-non-negative-integer.
+
+    Levels come from a minimum-pass host computation (cast + verify + one
+    chunked presence-bitmask pass + int8 column max): on the tunneled single
+    chip the host is 2 CPUs shared with the JAX client's service threads,
+    so the ~9 full float passes of the general get_levels cost ~0.4 s wall
+    at 10k variables where this takes ~0.15 s and kicks off the device
+    upload asynchronously in the middle.
+    """
+    import jax.numpy as jnp
+
+    data = np.asarray(data)
+    di8 = data.astype(np.int8)
+    if di8.min(initial=0) < 0 or not np.array_equal(di8, data):
+        return None
+    data_dev = jnp.asarray(di8)          # async device upload starts here
+    p = data.shape[1]
+    max_vals = di8.max(axis=0, initial=0).astype(np.int32)
+    if max_vals.max(initial=0) > 63:
+        return None
+    mask = np.zeros(p, np.uint64)
+    tmp = np.empty((min(256, max(data.shape[0], 1)), p), np.uint64)
+    for s in range(0, data.shape[0], 256):
+        c = di8[s : s + 256]
+        np.left_shift(np.uint64(1), c.astype(np.uint64), out=tmp[: len(c)])
+        mask |= np.bitwise_or.reduce(tmp[: len(c)], axis=0)
+    levels = np.bitwise_count(mask).astype(np.int32)
+    return data_dev, levels, max_vals
+
+
 def prepare_lgl(data, test_name, time_limit, parallel, feed_forward, max_k,
-                n_obs_min, hps, dense_cor, verbose):
+                n_obs_min, hps, dense_cor, verbose, data_dev_out=None):
     """Parameter resolution heuristics (reference: src/learning.jl:1-81)."""
     if time_limit == -1.0:
         if parallel == "multi_il" and max_k > 0:
@@ -65,8 +98,18 @@ def prepare_lgl(data, test_name, time_limit, parallel, feed_forward, max_k,
     if isdiscrete(test_name):
         if verbose:
             print("Computing levels")
-        levels = get_levels(data)
-        max_vals = get_max_vals(data)
+        import jax
+
+        dev = None
+        if jax.default_backend() == "tpu":
+            dev = _device_levels(data)
+        if dev is not None:
+            data_j, levels, max_vals = dev
+            if data_dev_out is not None:
+                data_dev_out.append(data_j)
+        else:
+            levels = get_levels(data)
+            max_vals = get_max_vals(data)
     # fz conditioning no longer materializes a HOST p x p float64 matrix
     # (80 GB at p=100k): CondTestEngine keeps the correlation matrix
     # device-resident and gathers/recurses on device (the reference's
@@ -200,10 +243,13 @@ def _lgl_timed(
 
             mesh = get_mesh(1 << (ndev.bit_length() - 1))
 
-    levels, max_vals, cor_mat, time_limit, n_obs_min = prepare_lgl(
-        data, test_name, time_limit, parallel, feed_forward, max_k, n_obs_min,
-        hps, dense_cor, verbose,
-    )
+    with timer.stage("prepare"):
+        _dev_out = []
+        levels, max_vals, cor_mat, time_limit, n_obs_min = prepare_lgl(
+            data, test_name, time_limit, parallel, feed_forward, max_k,
+            n_obs_min, hps, dense_cor, verbose, data_dev_out=_dev_out,
+        )
+    data_dev = _dev_out[0] if _dev_out else None
 
     if all_univar_nbrs is None:
         if verbose:
@@ -214,7 +260,7 @@ def _lgl_timed(
                 n_obs_min=n_obs_min, FDR=FDR, levels=levels,
                 max_vals=max_vals, cor_mat=cor_mat,
                 correct_reliable_only=correct_reliable_only,
-                tile=tile, mesh=mesh,
+                tile=tile, mesh=mesh, data_dev=data_dev,
             )
         if verbose:
             nbr_nums = [len(v) for v in all_univar_nbrs.values()]
@@ -237,11 +283,12 @@ def _lgl_timed(
     else:
         if verbose:
             print("\nStarting conditioning search")
-        engine = CondTestEngine(
-            data, test_name, max_k, levels=levels, max_vals=max_vals,
-            cor_mat=cor_mat, hps=hps, n_obs_min=n_obs_min,
-            recursive_pcor=recursive_pcor, mesh=mesh,
-        )
+        with timer.stage("engine_init"):
+            engine = CondTestEngine(
+                data, test_name, max_k, levels=levels, max_vals=max_vals,
+                cor_mat=cor_mat, hps=hps, n_obs_min=n_obs_min,
+                recursive_pcor=recursive_pcor, mesh=mesh, data_dev=data_dev,
+            )
         cfg = HitonConfig(
             test_name=test_name, max_k=max_k, alpha=alpha, hps=hps,
             n_obs_min=n_obs_min, max_tests=max_tests, fast_elim=fast_elim,
@@ -274,15 +321,23 @@ def _lgl_timed(
     if verbose:
         print("\nPostprocessing")
     with timer.stage("postprocess"):
-        weights_dict = {
-            T: make_weights(nbr_dict[T], all_univar_nbrs[T], weight_type,
-                            test_name)
-            for T in nbr_dict
-        }
-        graph = make_symmetric_graph(
-            weights_dict, edge_rule, edge_merge_fun=edge_merge_fun, max_var=p,
-            header=header,
-        )
+        if edge_merge_fun is maxweight and edge_rule == "OR":
+            from ..utils.misc import assemble_graph_bulk
+
+            graph = assemble_graph_bulk(
+                nbr_dict, all_univar_nbrs, weight_type, test_name,
+                max_var=p, header=header,
+            )
+        else:
+            weights_dict = {
+                T: make_weights(nbr_dict[T], all_univar_nbrs[T], weight_type,
+                                test_name)
+                for T in nbr_dict
+            }
+            graph = make_symmetric_graph(
+                weights_dict, edge_rule, edge_merge_fun=edge_merge_fun,
+                max_var=p, header=header,
+            )
     if verbose:
         print("Complete")
     return LGLResult(graph, rej_dict, unfinished)

@@ -195,6 +195,11 @@ class LiveWhitelist:
     def __contains__(self, cand: int) -> bool:
         return cand in self.adj.get(self.T, ())
 
+    def live_set(self):
+        """The current neighbor set (None/empty when nothing whitelisted) --
+        lets hot consume loops hoist the dict lookup out of the scan."""
+        return self.adj.get(self.T)
+
 
 class RoundScheduler:
     def __init__(
@@ -420,6 +425,63 @@ class RoundScheduler:
         return self.dispatcher.finish(bundle, responses)
 
 
+def _assemble_round(wins):
+    """Flatten a round's windows into one (X, Y, Zs, kvec, counts) batch
+    with O(groups) numpy calls, NOT O(windows) tile/repeat calls.
+
+    Each entry is (T, cands, Zdata, kdata, counts):
+      shared window     -- counts None: Zdata/kdata are the subset TEMPLATE
+                           shared by every candidate (tiled here via one
+                           grouped fancy-index per distinct (Bc, w) shape)
+      pre-concatenated  -- counts is the per-candidate subset-count array and
+                           Zdata/kdata already hold all candidates' rows
+    Returns the batch plus the flat per-candidate counts; caller slots must
+    be reordered with the emitted `order` (the function REORDERS windows so
+    same-shape shared windows are contiguous)."""
+    ns_idx = [i for i, w in enumerate(wins) if w[4] is not None]
+    groups: Dict[tuple, list] = {}
+    for i, w in enumerate(wins):
+        if w[4] is None:
+            groups.setdefault((len(w[3]), len(w[1])), []).append(i)
+    order = ns_idx + [i for g in groups.values() for i in g]
+    import itertools as _it
+
+    Zcat = np.concatenate([wins[i][2] for i in order])
+    kcat = np.concatenate([wins[i][3] for i in order])
+    sizes = np.fromiter((len(wins[i][3]) for i in order), np.int64,
+                        count=len(order))
+    offs = np.zeros(len(order), np.int64)
+    np.cumsum(sizes[:-1], out=offs[1:])
+    # flat row-gather index: nonshared prefix is the identity, each shared
+    # group tiles its template rows w times via one broadcasted add
+    idx_parts = [np.arange(int(sizes[:len(ns_idx)].sum()), dtype=np.int64)]
+    gi = len(ns_idx)
+    counts_parts = [np.asarray(wins[i][4], np.int64) for i in ns_idx]
+    for (Bc, w), idxs in groups.items():
+        nwin = len(idxs)
+        tile_pat = np.tile(np.arange(Bc, dtype=np.int64), w)
+        idx_parts.append(
+            (offs[gi:gi + nwin, None] + tile_pat[None, :]).ravel())
+        counts_parts.append(np.full(nwin * w, Bc, np.int64))
+        gi += nwin
+    idx = np.concatenate(idx_parts) if len(idx_parts) > 1 else idx_parts[0]
+    counts = np.concatenate(counts_parts)
+    Zs = Zcat[idx]
+    ks = kcat[idx]
+    # per-window flat sizes in emit order (shared: w*Bc)
+    Bw = np.fromiter(
+        (len(wins[i][3]) if wins[i][4] is not None
+         else len(wins[i][3]) * len(wins[i][1]) for i in order),
+        np.int64, count=len(order))
+    Ts = np.fromiter((wins[i][0] for i in order), np.int64, count=len(order))
+    X = np.repeat(Ts, Bw).astype(np.int32)
+    cand_cat = np.fromiter(
+        _it.chain.from_iterable(wins[i][1] for i in order), np.int64,
+        count=int(sum(len(wins[i][1]) for i in order)))
+    Y = np.repeat(cand_cat, counts).astype(np.int32)
+    return X, Y, Zs, ks, counts, order
+
+
 class Dispatcher:
     """Batches HITON test requests (bare + speculative-window kinds) into
     single async device calls and scatters responses with per-candidate
@@ -466,58 +528,29 @@ class Dispatcher:
         var_list) from the chunked generator path, and the speculative
         windows ("miwin", T, cands, Zarr, kvec, counts, shared) /
         ("mcorwin", T, pairs, var_lists) carrying a whole window's
-        candidates as pre-concatenated arrays -- the scheduler concatenates
-        O(windows) arrays per round instead of O(candidates)."""
-        mi_parts = []     # (Xs, Ys, Zarr, kvec) per window/request
-        mi_counts = []    # per-CANDIDATE subset counts (digest segments)
-        mi_slots = []     # (T, kind, n_cands) in mi_parts order
-        fz_parts, fz_counts, fz_slots = [], [], []
+        candidates.  Shared windows ship their subset TEMPLATE un-tiled; the
+        whole round's flat (X, Y, Zs, kvec) batch is assembled with a
+        handful of vectorized numpy passes (_assemble_round) instead of
+        per-window tile/repeat calls."""
+        mi_win, mi_slots = [], []     # (T, cands, Zdata, kdata, counts|None)
+        fz_win, fz_slots = [], []
         mcor_pairs, mcor_vls = [], []
         mcor_slots = []   # (T, kind, n_cands)
         for T, r in pending.items():
             kind = r[0]
-            if kind == "fz":
+            if kind in ("mi", "fz"):
                 _, _, cand, Zarr, kvec = r
-                B = len(kvec)
-                fz_parts.append((np.full(B, T, np.int32),
-                                 np.full(B, cand, np.int32), Zarr, kvec))
-                fz_counts.append(np.array([B], np.int64))
-                fz_slots.append((T, "fz", 1))
-            elif kind == "fzwin":
+                win, slots = (mi_win, mi_slots) if kind == "mi" else (
+                    fz_win, fz_slots)
+                win.append((T, (cand,), Zarr, kvec, None))
+                slots.append((T, kind, 1))
+            elif kind in ("miwin", "fzwin"):
                 _, _, cands, Zarr, kvec, counts, shared = r
-                w = len(cands)
-                if shared:
-                    Zcat = np.tile(Zarr, (w, 1))
-                    kcat = np.tile(kvec, w)
-                else:
-                    Zcat, kcat = Zarr, kvec
-                Bw = len(kcat)
-                fz_parts.append((np.full(Bw, T, np.int32),
-                                 np.repeat(np.asarray(cands, np.int32),
-                                           counts), Zcat, kcat))
-                fz_counts.append(np.asarray(counts, np.int64))
-                fz_slots.append((T, "fzwin", w))
-            elif kind == "mi":
-                _, _, cand, Zarr, kvec = r
-                B = len(kvec)
-                mi_parts.append((np.full(B, T, np.int32),
-                                 np.full(B, cand, np.int32), Zarr, kvec))
-                mi_counts.append(np.array([B], np.int64))
-                mi_slots.append((T, "mi", 1))
-            elif kind == "miwin":
-                _, _, cands, Zarr, kvec, counts, shared = r
-                w = len(cands)
-                if shared:
-                    Zcat = np.tile(Zarr, (w, 1))
-                    kcat = np.tile(kvec, w)
-                else:
-                    Zcat, kcat = Zarr, kvec
-                Bw = len(kcat)
-                mi_parts.append((np.full(Bw, T, np.int32),
-                                 np.repeat(np.asarray(cands, np.int32),
-                                           counts), Zcat, kcat))
-                mi_counts.append(np.asarray(counts, np.int64))
-                mi_slots.append((T, "miwin", w))
+                win, slots = (mi_win, mi_slots) if kind == "miwin" else (
+                    fz_win, fz_slots)
+                win.append((T, cands, Zarr, kvec,
+                            None if shared else counts))
+                slots.append((T, kind, len(cands)))
             elif kind == "mcor":
                 mcor_pairs.append(r[1])
                 mcor_vls.append(r[2])
@@ -530,15 +563,12 @@ class Dispatcher:
                 raise ValueError(f"unknown request kind {kind}")
 
         mi_h = None
-        dev_digest = (self.fast and mi_parts
+        dev_digest = (self.fast and mi_win
                       and getattr(self.engine, "dev_digest", False)
                       and all(k != "mi" for _, k, _ in mi_slots))
-        if mi_parts:
-            Xs = np.concatenate([p[0] for p in mi_parts])
-            Ys = np.concatenate([p[1] for p in mi_parts])
-            Zs = np.concatenate([p[2] for p in mi_parts])
-            ks = np.concatenate([p[3] for p in mi_parts])
-            counts = np.concatenate(mi_counts)
+        if mi_win:
+            Xs, Ys, Zs, ks, counts, order = _assemble_round(mi_win)
+            mi_slots = [mi_slots[i] for i in order]
             if dev_digest:
                 handle = self.engine.mi_tests_begin_digest(
                     Xs, Ys, Zs, ks, counts, self.alpha)
@@ -546,13 +576,11 @@ class Dispatcher:
                 handle = self.engine.mi_tests_begin(Xs, Ys, Zs, ks)
             mi_h = (handle, mi_slots, counts, dev_digest)
         fz_h = None
-        if fz_parts:
-            Xs = np.concatenate([p[0] for p in fz_parts])
-            Ys = np.concatenate([p[1] for p in fz_parts])
-            Zs = np.concatenate([p[2] for p in fz_parts])
-            ks = np.concatenate([p[3] for p in fz_parts])
+        if fz_win:
+            Xs, Ys, Zs, ks, counts, order = _assemble_round(fz_win)
+            fz_slots = [fz_slots[i] for i in order]
             fz_h = (self.engine.fz_tests_begin(Xs, Ys, Zs, ks), fz_slots,
-                    np.concatenate(fz_counts))
+                    counts)
         mcor_h = None
         if mcor_pairs:
             mcor_h = (self.engine.masked_cor_begin(mcor_pairs, mcor_vls),

@@ -31,6 +31,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# test hook: exercise the TPU packed-histogram path on the CPU mesh
+FORCE_TPU_PATH = False
+
 
 def onehot_encode(data, L):
     """(n, p) integer matrix -> (n, p, L) one-hot in the input float dtype."""
@@ -92,36 +95,68 @@ def _remap_strata(zcode, row_mask, S_cap):
     return jnp.clip(ranks, 0, S_cap - 1).T, occ
 
 
-def cond_ctab_batch(data, X, Y, Zs, kvec, row_mask, B_pad, max_k, L, S):
+def _packed_hist(cell_q, sf, Cq, fdt):
+    """Byte-packed cell histogram: 4 cells share one int32 lane.
+
+    cell_q: (n, B) quarter-cell index (values >= Cq never counted);
+    sf: (n, B) int32 byte-lane scale 1 << (8 * (cell & 3)), 0 on masked rows.
+    Rows are chunked at 128 so every byte lane's per-chunk count <= 128 --
+    no cross-byte carries (the 128-count top-byte case survives the final
+    arithmetic shift + 0xFF mask exactly).  ~2.6x the plain (n, B, C)
+    compare-reduce on v5e: 4x fewer VPU compares at ~3 ops each, plus an
+    O(n/128 * B * Cq) unpack.  Returns (B, 4 * Cq) counts in fdt.
+    """
+    n, B = cell_q.shape
+    pad = (-n) % 128
+    if pad:
+        cell_q = jnp.concatenate(
+            [cell_q, jnp.full((pad, B), Cq, cell_q.dtype)])
+        sf = jnp.concatenate([sf, jnp.zeros((pad, B), sf.dtype)])
+    nch = (n + pad) // 128
+    qr = cell_q.reshape(nch, 128, B)
+    sfr = sf.reshape(nch, 128, B)
+    acc = ((qr[:, :, :, None] == jnp.arange(Cq, dtype=cell_q.dtype))
+           * sfr[:, :, :, None]).sum(axis=1)               # (nch, B, Cq)
+    cnt4 = jnp.stack([(acc >> (8 * t)) & 0xFF for t in range(4)], axis=-1)
+    return cnt4.sum(axis=0).reshape(B, Cq * 4).astype(fdt)
+
+
+def cond_ctab_batch(data, X, Y, Zs, kvec, row_mask, B_pad, max_k, L, S,
+                    reduced=False):
     """Stratified contingency tables for a batch of (X, Y, Zs) descriptors.
 
     Replaces the reference's generated sparse N-column merge-join backend
     (reference: src/contingency.jl:300-480).  On TPU the table is a fused
     CELL-CODE HISTOGRAM: each row of each test folds (x, y, zcode) into one
-    radix cell index, and the (B, L*L*S) count matrix is a broadcast
-    compare-reduce against an iota of cells -- a single VPU loop fusion with
-    no materialized one-hot intermediates.  (The earlier batched one-hot
-    einsum formulation ran at M=L on the MXU -- ~2% utilization -- and
-    materialized an (n, B, L*S) operand; the histogram is ~3x faster at the
-    production shape, see PERF.md.)  Off-TPU the batched one-hot matmul is
-    kept: XLA-CPU executes it as optimized GEMMs, while an n*B*L*L*S
-    compare-reduce lowers to slow scalar loops.
+    radix cell index and the counts come from a byte-packed compare-reduce
+    (_packed_hist) -- no materialized one-hot intermediates.  (Two earlier
+    formulations, kept for the record: the batched one-hot einsum ran at
+    M=L on the MXU -- ~2% utilization -- and the plain (n, B, C) f32
+    compare-reduce was 2.6x slower than the packed variant; see PERF.md.)
+    Off-TPU the batched one-hot matmul is kept: XLA-CPU executes it as
+    optimized GEMMs, while big compare-reduces lower to slow scalar loops.
 
     Args:
-      data: (n, p) discrete values in 0..L-1 (float dtype).
+      data: (n, p) discrete values in 0..L-1 (float or int8 dtype).
       X, Y: (B_pad,) int32 column indices.
       Zs:   (B_pad, max_k) int32 conditioning columns (entries >= kvec ignored).
       kvec: (B_pad,) conditioning-set sizes.
-      row_mask: (n, B_pad) float 0/1 -- rows included per test (the reference's
+      row_mask: (n, B_pad) 0/1 -- rows included per test (the reference's
         dense-path view trimming, src/hiton.jl:41-50).
       S: stratum-table width.  When S < L^max_k the z-codes are remapped to
         dense occupied ranks (see _remap_strata); the second return value is
         then the EXACT per-test occupied-stratum count.
+      reduced: every test is nz-adjusted with 3-level X and Y (ox = oy = 1,
+        L == 3): the x=0 / y=0 cells are structurally empty (row_mask already
+        excludes those rows), so the histogram runs over the (L-1)^2 * S
+        sliced cells only -- 2.25x fewer compares -- and the return shape is
+        (B_pad, L-1, L-1, S), consumed with ox = oy = 0 downstream.
     Returns:
-      ((B_pad, L, L, S) float tables over the masked rows,
+      ((B_pad, L, L, S) tables over the masked rows ((L-1)^2 when reduced),
        (B_pad,) occupied counts or None when S == L^max_k).
     """
     n = data.shape[0]
+    on_tpu = jax.default_backend() == "tpu" or FORCE_TPU_PATH
     x = jnp.take(data, X, axis=1)                          # (n, B)
     y = jnp.take(data, Y, axis=1)
     # radix z-code with base L (reference ZMapper cum_levels, src/types.jl:32-46)
@@ -134,23 +169,41 @@ def cond_ctab_batch(data, X, Y, Zs, kvec, row_mask, B_pad, max_k, L, S):
     if S < L ** max_k:
         zcode, occ = _remap_strata(zcode, row_mask, S)
 
-    if jax.default_backend() == "tpu":
+    if on_tpu:
         fdt = jnp.promote_types(data.dtype, jnp.float32)   # data may be int8
+        mask = row_mask > 0
+        # masking rides entirely on sf == 0: every row's cell code is
+        # in-range regardless of mask, so no OOB rewrite pass is needed
+        if reduced:
+            # lane = (x-1) + (L-1)(y-1) in [0, 4); quarter = stratum
+            lane = (x.astype(jnp.int32) - 1) + (L - 1) * (
+                y.astype(jnp.int32) - 1)
+            sf = jnp.where(mask, jnp.left_shift(jnp.int32(1), 8 * lane), 0)
+            cnt = _packed_hist(zcode, sf, S, fdt)          # (B, 4S)
+            Lr = L - 1
+            ctab = cnt[:, : Lr * Lr * S].reshape(B_pad, S, Lr, Lr)
+            return ctab.transpose(0, 3, 2, 1), occ         # (B, Lr, Lr, S)
         C = L * L * S
         cell = x.astype(jnp.int32) + L * y.astype(jnp.int32) + (L * L) * zcode
-        cell = jnp.where(row_mask > 0, cell, C)            # masked rows -> OOB
-        cnt = (cell[:, :, None] == jnp.arange(C, dtype=jnp.int32)).astype(
-            fdt).sum(axis=0)                               # (B, C)
+        Cq = -(-C // 4)
+        sf = jnp.where(mask,
+                       jnp.left_shift(jnp.int32(1), 8 * (cell & 3)), 0)
+        cnt = _packed_hist(cell >> 2, sf, Cq, fdt)
         # cell = x + L*y + L^2*z  ->  (B, S, y_level, x_level) -> (B, L, L, S)
-        return cnt.reshape(B_pad, S, L, L).transpose(0, 3, 2, 1), occ
+        return cnt[:, :C].reshape(B_pad, S, L, L).transpose(0, 3, 2, 1), occ
 
-    ex = onehot_encode(x, L) * row_mask[..., None]         # (n, B, L)
+    rm = row_mask.astype(data.dtype)
+    ex = onehot_encode(x, L) * rm[..., None]               # (n, B, L)
     ey = onehot_encode(y, L)                               # (n, B, L)
-    ez = (zcode[..., None] == jnp.arange(S, dtype=jnp.int32)).astype(data.dtype)
+    ez = (zcode.astype(jnp.int32)[..., None]
+          == jnp.arange(S, dtype=jnp.int32)).astype(data.dtype)
     # fuse (y_level, stratum) then batched matmul over B: (B,L,n)@(B,n,L*S)
     w = (ey[..., :, None] * ez[..., None, :]).reshape(n, B_pad, L * S)
     ctab = jnp.einsum("nba,nbm->bam", ex, w, preferred_element_type=data.dtype)
-    return ctab.reshape(B_pad, L, L, S), occ
+    ctab = ctab.reshape(B_pad, L, L, S)
+    if reduced:
+        ctab = ctab[:, 1:, 1:, :]
+    return ctab, occ
 
 
 def slice_mask(ctab, ox, oy, xp=jnp):

@@ -344,9 +344,10 @@ def benjamini_hochberg(pvals, alpha=0.01, m=None):
     sidx = idx[order]
     sp = p[sidx]
     nf = sp.size
-    adj = np.empty(nf)
-    adj[-1] = min(sp[-1] * m / nf, 1.0)
-    for i in range(nf - 2, -1, -1):
-        adj[i] = min(adj[i + 1], sp[i] * m / (i + 1))
+    # reversed running minimum of sp[i] * m / (i+1), capped at 1 -- the
+    # vectorized form of the reference's descending min loop
+    terms = sp * (m / np.arange(1.0, nf + 1.0))
+    adj = np.minimum.accumulate(terms[::-1])[::-1]
+    np.minimum(adj, 1.0, out=adj)
     out[sidx] = adj
     return out

@@ -34,6 +34,7 @@ from jax.sharding import PartitionSpec as P
 
 from . import statfuns as sf
 from .contingency import pair_ctab_block
+from ..types import PSortedNbrs
 from ..utils.misc import is_zero_adjusted, isdiscrete
 
 
@@ -741,7 +742,7 @@ def _extract_scan(kind, data_args, mesh, use_pallas, p_int, tile_sz, slab, p,
     b_hat = _select_bin(tot, m, alpha, edges) if FDR else 0
     K = int(tot[b_hat])
     if K == 0:
-        return {i: {} for i in range(p)}
+        return {i: PSortedNbrs() for i in range(p)}
     if K > EXTRACT_BUDGET:
         raise RuntimeError(
             f"{K} sub-threshold univariate pairs exceed the device "
@@ -794,7 +795,7 @@ def _extract_scan(kind, data_args, mesh, use_pallas, p_int, tile_sz, slab, p,
     ft = np.float64 if buf.dtype == np.int64 else np.float32
     pvals_sig = np.exp(buf[2].view(ft).astype(np.float64))
     stats_sig = buf[3].view(ft).astype(np.float64)
-    nbr = {i: {} for i in range(p)}
+    nbr = {i: PSortedNbrs() for i in range(p)}
     for x, y, st, pv in zip(buf[0], buf[1], stats_sig, pvals_sig):
         entry = (float(st), float(pv))
         nbr[int(x)][int(y)] = entry
@@ -841,6 +842,7 @@ def pw_univar_neighbors(
     tile: Optional[int] = None,
     return_result: bool = False,
     mesh=None,
+    data_dev=None,
 ):
     """All-pairs univariate pass (reference: src/tests.jl:436-532).
 
@@ -907,8 +909,11 @@ def pw_univar_neighbors(
                 level_marginals, mi_univar_stats_pallas,
             )
 
-            # host-side int8 cast: 4x less tunnel upload + kernel read traffic
-            data_j = _put(np.asarray(data, dtype=np.int8), jnp.int8)
+            if data_dev is not None and mesh is None:
+                data_j = data_dev     # caller's upload (levels rode it too)
+            else:
+                # host-side int8 cast: 4x less tunnel upload + kernel read
+                data_j = _put(np.asarray(data, dtype=np.int8), jnp.int8)
             data_jT = jnp.asarray(data_j.T)   # native-layout MXU X operand
             marg = level_marginals(data_j, L)
         else:

@@ -23,6 +23,17 @@ import numpy as np
 # reference's OrderedDict (plain dicts in py3.7+ preserve insertion order).
 NbrStatDict = Dict[int, Tuple[float, float]]
 
+
+class PSortedNbrs(dict):
+    """Neighbor dict whose INSERTION ORDER is ascending p-value.
+
+    The device univariate extraction inserts significant pairs in global
+    p-sorted order, so each per-target dict it builds is already the
+    stable-sorted candidate order HITON preparation needs -- tagged with
+    this subclass so the per-target re-sort can be skipped."""
+
+    __slots__ = ()
+
 # rejection record: nbr -> (Zs, TestResult, (num_tests, frac_tests))
 RejDict = Dict[int, Tuple[Tuple[int, ...], "TestResult", Tuple[int, float]]]
 

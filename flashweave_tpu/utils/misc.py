@@ -153,6 +153,90 @@ def maxweight(
     return max(abs(weight1), abs(weight2)) * sign1
 
 
+def assemble_graph_bulk(
+    nbr_dict: Dict[int, NbrStatDict],
+    all_univar_nbrs: Dict[int, NbrStatDict],
+    weight_type: str,
+    test_name: str,
+    max_var: int,
+    header=None,
+) -> Graph:
+    """Vectorized make_weights + maxweight OR-merge + graph build.
+
+    Semantics identical to make_weights/make_symmetric_graph with the
+    default ``maxweight`` merge (reference: src/misc.jl:137-159, 201-272)
+    incl. per-edge sign-conflict warnings keyed by the FIRST-seen direction
+    and NaN-edge dropping -- but the numeric work (signing, |max| merge,
+    NaN rules) runs as array passes instead of per-edge numpy scalar calls.
+    """
+    import warnings
+
+    uni = weight_type.startswith("uni")
+    kind_i = 1 if weight_type.split("_")[1] == "pval" else 0
+    discrete = isdiscrete(test_name)
+    us, vs, ws, sgn = [], [], [], []
+    for T, d in nbr_dict.items():
+        univ = all_univar_nbrs[T]
+        for nbr, cw in d.items():
+            us.append(T)
+            vs.append(nbr)
+            ws.append(univ[nbr][kind_i] if uni else cw[kind_i])
+            if discrete and not uni:
+                sgn.append(univ[nbr][0])
+    G = Graph(max_var)
+    if not us:
+        return G
+    u = np.asarray(us, np.int64)
+    v = np.asarray(vs, np.int64)
+    w = np.asarray(ws, np.float64)
+    if discrete and not uni:
+        w = np.sign(np.asarray(sgn, np.float64)) * np.abs(w)
+    lo = np.minimum(u, v)
+    hi = np.maximum(u, v)
+    key = lo * np.int64(max_var) + hi
+    order = np.lexsort((np.arange(len(key)), key))
+    ks = key[order]
+    wsrt = w[order]
+    first = np.ones(len(ks), bool)
+    first[1:] = ks[1:] != ks[:-1]
+    gstart = np.nonzero(first)[0]
+    gsize = np.diff(np.append(gstart, len(ks)))
+    w1 = wsrt[gstart]
+    w2 = np.where(gsize > 1, wsrt[np.minimum(gstart + 1, len(ks) - 1)],
+                  np.nan)
+    with np.errstate(invalid="ignore"):
+        nan1 = np.isnan(w1)
+        nan2 = np.isnan(w2)
+        s1 = np.sign(w1)
+        conflict = ~nan1 & ~nan2 & (s1 * np.sign(w2) < 0)
+        merged = np.where(
+            nan1, w2,
+            np.where(nan2, w1,
+                     np.maximum(np.abs(w1), np.abs(w2)) * s1))
+        merged = np.where(conflict, w1, merged)
+    if conflict.any():
+        oi = order[gstart]
+        for gi in np.nonzero(conflict)[0]:
+            e1, e2 = int(u[oi[gi]]), int(v[oi[gi]])
+            e1w, e2w = (header[e1], header[e2]) if header is not None else (
+                e1, e2)
+            warnings.warn(
+                f"Opposite signs for edge {e1w} <-> {e2w} detected. "
+                "Arbitarily choosing one."
+            )
+    keep = ~np.isnan(merged)
+    n_nan = int((~keep).sum())
+    if n_nan > 0:
+        warnings.warn(f"{n_nan} edges with NaN weights were removed.")
+    adj = G.adj
+    for a, b, m in zip((ks[gstart[keep]] // max_var).tolist(),
+                       (ks[gstart[keep]] % max_var).tolist(),
+                       merged[keep].tolist()):
+        adj.setdefault(a, {})[b] = m
+        adj.setdefault(b, {})[a] = m
+    return G
+
+
 def make_symmetric_graph(
     weights_dict: Dict[int, Dict[int, float]],
     edge_rule: str = "OR",

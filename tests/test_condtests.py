@@ -227,3 +227,74 @@ def test_device_digest_matches_host_digest():
     assert [(u, v) for u, v, _ in e_host] == [(u, v) for u, v, _ in e_dev]
     np.testing.assert_allclose([w for _, _, w in e_host],
                                [w for _, _, w in e_dev], rtol=1e-9)
+
+
+def test_packed_histogram_matches_einsum():
+    """The TPU byte-packed cell histogram (generic + reduced nz-uniform
+    variants, exercised on CPU via FORCE_TPU_PATH) must produce bit-exact
+    integer counts vs the einsum formulation -- including the adversarial
+    all-rows-one-cell case where a 128-row chunk's byte lane hits its
+    maximum count of 128 (top-bit carry survives the arithmetic shift)."""
+    import jax.numpy as jnp
+
+    from flashweave_tpu.ops import contingency as cg
+
+    rng = np.random.default_rng(3)
+    n, p, L, max_k, S, B = 300, 40, 3, 3, 27, 64
+    data = rng.integers(0, L, (n, p)).astype(np.float64)
+    data[rng.random((n, p)) < 0.4] = 0.0
+    data[:, 7] = 1.0          # constant column: all rows in one cell
+    data[:, 8] = 1.0
+    X = rng.integers(0, p, B).astype(np.int32)
+    Y = (X + 1 + rng.integers(0, p - 1, B)).astype(np.int32) % p
+    X[0], Y[0] = 7, 8         # the max-chunk-count case
+    Zs = rng.integers(0, p, (B, max_k)).astype(np.int32)
+    Zs[0] = 7
+    kvec = rng.integers(0, max_k + 1, B).astype(np.int32)
+    x = np.take(data, X, axis=1)
+    y = np.take(data, Y, axis=1)
+    mask_full = jnp.ones((n, B), bool)
+    mask_nz = jnp.asarray((x != 0) & (y != 0))
+    args = (jnp.asarray(data), jnp.asarray(X), jnp.asarray(Y),
+            jnp.asarray(Zs), jnp.asarray(kvec))
+
+    for mask, reduced in ((mask_full, False), (mask_nz, False),
+                          (mask_nz, True)):
+        ref, _ = cg.cond_ctab_batch(*args, mask, B, max_k, L, S,
+                                    reduced=reduced)
+        old = cg.FORCE_TPU_PATH
+        cg.FORCE_TPU_PATH = True
+        try:
+            got, _ = cg.cond_ctab_batch(*args, mask, B, max_k, L, S,
+                                        reduced=reduced)
+        finally:
+            cg.FORCE_TPU_PATH = old
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got),
+                                      err_msg=f"reduced={reduced}")
+
+
+def test_nz_uniform_kernel_matches_generic():
+    """nzu=True (sliced-cell histogram, zero offsets) must reproduce the
+    generic nz kernel bit-for-bit when every variable has 3 levels."""
+    from flashweave_tpu.ops import condtests as ct
+
+    rng = np.random.default_rng(11)
+    n, p, max_k = 250, 30, 3
+    data = rng.integers(0, 3, (n, p)).astype(np.float64)
+    data[rng.random((n, p)) < 0.3] = 0.0
+    # ensure all 3 levels present everywhere
+    data[0] = 0.0; data[1] = 1.0; data[2] = 2.0
+    lv, mx = get_levels(data.astype(int)), get_max_vals(data.astype(int))
+    assert (mx > 1).all()
+    B = 96
+    X = rng.integers(0, p, B).astype(np.int32)
+    Y = (X + 1 + rng.integers(0, p - 1, B)).astype(np.int32) % p
+    Zs = rng.integers(0, p, (B, max_k)).astype(np.int32)
+    kvec = rng.integers(0, max_k + 1, B).astype(np.int32)
+    eng = CondTestEngine(data, "mi_nz", max_k, levels=lv, max_vals=mx)
+    assert eng.nzu
+    r_nzu = eng.mi_tests_raw(X, Y, Zs, kvec)
+    eng.nzu = False
+    r_gen = eng.mi_tests_raw(X, Y, Zs, kvec)
+    for a, b in zip(r_nzu, r_gen):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
