@@ -399,6 +399,9 @@ SPEC_WINDOW_MAX = 32
 # tests, no per-candidate host work
 SPEC_SHARED_MAX = 256
 
+# diagnostics: set to a dict to count windows by kind (shared/erot/chain/legacy)
+WINDOW_STATS = None
+
 
 def fast_mode(cfg: HitonConfig) -> bool:
     """True when per-candidate results can be consumed as bare decisions
@@ -472,8 +475,12 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
     check_clock = cfg.time_limit > 0.0
     debug = cfg.debug
     max_k = cfg.max_k
-    spec = 2
     n_c = len(candidates)
+    # initial speculation depth: the E phase re-tests already-accepted
+    # neighbors, which overwhelmingly pass -- cover the whole phase in one
+    # rotational window; the I phase's strongest-first prefix is mostly
+    # accepts too, so start moderately deep instead of at 2
+    spec = n_c if phase == "E" else 4
     ci = 0
     last_accept = True   # univar-strength-sorted: accept runs come first
     fast = discrete and fast_mode(cfg)
@@ -497,9 +504,14 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
         items = []                     # (cand, Zs_build | None, has_req, legacy)
         Zarr_parts, kvec_parts = [], []
         shared = False
-        if (spec_able and not nz and phase == "I" and not mode_accept
-                and accepted
+        erot = False
+        if (spec_able and (discrete or not nz) and phase == "I"
+                and not mode_accept and accepted
                 and _subset_total(len(accepted), max_k) <= SUBSET_CHUNK):
+            # one conditioning template serves the window: valid for plain
+            # tests AND for discrete nz (mi_nz), whose per-candidate row
+            # masking happens on device from the request's own (X, Y)
+            # columns -- only fz_nz needs per-candidate mcor var-lists
             # reject-chain interleaving: every candidate in the window
             # shares the SAME conditioning set -- one template serves all,
             # cached across consecutive reject-windows of this target
@@ -523,6 +535,31 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
                     else:
                         items.append((cand, Zs_shared, True, False))
                         cands_w.append(cand)
+        elif (spec_able and fast and phase == "E" and mode_accept
+              and not blacklist and len(accepted) >= 2
+              and _subset_total(len(accepted) - 1, max_k) <= SUBSET_CHUNK
+              and accepted[: min(window, n_c - ci)]
+                  == candidates[ci : ci + min(window, n_c - ci)]):
+            # rotational shared-E window: under the all-accept assumption the
+            # E phase's remove/re-append rotation makes candidate k's
+            # conditioning list the k-step CYCLIC rotation of the current
+            # accepted list minus itself -- the whole window's subset arrays
+            # come from ONE fancy-index instead of per-candidate chain
+            # builds.  Guard: the unprocessed candidates must still be the
+            # prefix of the rotated accepted list (always true unless a
+            # whitelist hit appended a duplicate).
+            erot = True
+            W = min(window, n_c - ci)
+            cands_w = candidates[ci : ci + W]
+            items = None
+            a = len(accepted)
+            acc_np = np.asarray(accepted, np.int32)
+            rot = acc_np[(1 + np.arange(a - 1, dtype=np.int64)[None, :]
+                          + np.arange(W, dtype=np.int64)[:, None]) % a]
+            pos, kvec_t = _combo_template(a - 1, max_k)
+            Zarr_e = rot[:, pos].reshape(-1, max_k)
+            kvec_e = np.tile(kvec_t, W)
+            counts_e = np.full(W, len(kvec_t), np.int64)
         else:
             # accept-chain / E-phase builds pay per-candidate host work and
             # mispredict at the first outcome flip -- cap them at the
@@ -559,9 +596,17 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
                 elif phase == "E":
                     chain = Zs          # assumed fast_elim reject
 
+        if WINDOW_STATS is not None:
+            k = ("shared" if shared else "erot" if erot
+                 else "legacy" if (items and items[0][3]) else "chain")
+            WINDOW_STATS[k] = WINDOW_STATS.get(k, 0) + 1
+            WINDOW_STATS[k + "_cands"] = (WINDOW_STATS.get(k + "_cands", 0)
+                                          + (len(cands_w) if cands_w else 1))
         got = None
         if cands_w:
-            if discrete or fz_dev:
+            if erot:
+                req = ("miwin", T, cands_w, Zarr_e, kvec_e, counts_e, False)
+            elif discrete or fz_dev:
                 kind = "miwin" if discrete else "fzwin"
                 if shared:
                     req = (kind, T, cands_w, Zarr, kvec,
@@ -583,6 +628,64 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
         #    accepted with the weakest result) -- rejected candidates cost
         #    no per-candidate host work at all.  Validity per candidate:
         #    its build-time conditioning list must equal the live one ------
+        if erot:
+            # rotational-E consume: accepts keep the rotation deterministic,
+            # so the only mispredict points are a fast_elim elimination or a
+            # live-whitelist hit (which appends a duplicate, existing
+            # semantics).  Rejections with fast_elim=False re-append -- the
+            # same rotation as an accept -- so those windows consume fully.
+            exit_e, wstat, wpval = got
+            W = len(cands_w)
+            ex = np.asarray(exit_e[:W])
+            stop = W
+            stop_kind = None
+            if cfg.fast_elim:
+                rej = np.nonzero(ex >= 0)[0]
+                if rej.size:
+                    stop = int(rej[0])
+                    stop_kind = "rej"
+            wl_live = (whitelist.live_set()
+                       if hasattr(whitelist, "live_set") else whitelist)
+            if wl_live:
+                for j, cand in enumerate(
+                        cands_w[: stop + 1] if stop < W else cands_w):
+                    if cand in wl_live:
+                        if j <= stop:
+                            stop = j
+                            stop_kind = "wl"
+                        break
+            m = stop if stop < W else W
+            for j in range(m):
+                if ex[j] < 0:
+                    accepted_dict[cands_w[j]] = (float(wstat[j]),
+                                                 float(wpval[j]))
+                # ex[j] >= 0 here only with fast_elim=False: rejected, the
+                # re-append keeps the rotation -- nothing recorded
+            accepted = accepted[m:] + accepted[:m]
+            ci += m
+            if stop_kind == "rej":
+                accepted = accepted[1:]     # eliminate the rejected member
+                ci += 1
+                last_accept = False
+                wasted = m + 1 < W
+            elif stop_kind == "wl":
+                cand = cands_w[m]
+                accepted.append(cand)       # duplicate append (existing
+                accepted_dict[cand] = (NAN, NAN)   # whitelist semantics)
+                ci += 1
+                last_accept = True
+                wasted = m + 1 < W
+            else:
+                last_accept = True
+                wasted = False
+            if check_clock and clock.expired() and ci < n_c:
+                if control.converged:
+                    return accepted_dict, candidates[ci:]
+                clock.reset()
+            spec = (max(2, spec // 2) if wasted
+                    else min(SPEC_SHARED_MAX, spec * 4))
+            continue
+
         if fast and cands_w and items is None:
             # plain shared-I consume, VECTORIZED: within this window the
             # accepted list can only mutate through an accept (exit -1) or a
@@ -795,6 +898,104 @@ def _consume_window(T, cand, cfg, engine, got, gi, Zarr, kvec, a):
 # full per-target search (reference: src/hiton.jl:283-400)
 # ---------------------------------------------------------------------------
 
+# device-test budget for the single full-target speculative window
+TURBO_TEST_BUDGET = 2600
+
+# full-target window layouts keyed by (m, max_k): every Z entry is an index
+# into the target's candidate array, so one cached template + one fancy
+# index builds the whole request
+_turbo_cache: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+
+def _turbo_template(m: int, max_k: int):
+    """(IDX (B, max_k) candidate-index rows, KV (B,) subset sizes,
+    COUNTS per-candidate test counts) for the full-target window: the
+    all-accept interleaving prefixes (Zs_k = candidates[:k]) followed by the
+    all-accept elimination rotation."""
+    tpl = _turbo_cache.get((m, max_k))
+    if tpl is None:
+        idx_parts, kv_parts, counts = [], [], []
+        for k in range(1, m):
+            pos, kv = _combo_template(k, max_k)
+            idx_parts.append(pos)            # pos < k indexes the prefix
+            kv_parts.append(kv)
+            counts.append(len(kv))
+        posE, kvE = _combo_template(m - 1, max_k)
+        # rotation k maps template position j to candidate (k + 1 + j) % m
+        rotE = (1 + np.arange(m, dtype=np.int64)[:, None, None]
+                + posE[None, :, :]) % m
+        idx_parts.append(rotE.reshape(-1, max_k).astype(np.int32))
+        kv_parts.append(np.tile(kvE, m))
+        counts.extend([len(kvE)] * m)
+        tpl = (np.concatenate(idx_parts), np.concatenate(kv_parts),
+               np.asarray(counts, np.int64))
+        _turbo_cache[(m, max_k)] = tpl
+    return tpl
+
+
+def _turbo_target(T, candidates, cfg, engine, support_dict, whitelist):
+    """ONE speculative window covering the target's whole search: every
+    interleaving candidate conditioned on the all-accept prefix
+    (Zs_k = candidates[:k]) plus the all-accept elimination rotation.
+
+    Univariate FDR pre-filters candidate lists so hard that most targets'
+    conditional searches are pure confirmation runs; for those this replaces
+    ~4-6 sequential window round-trips with ONE dispatch.  Returns the final
+    HitonState when every speculated outcome held; returns None on ANY
+    mispredict (an I rejection, an E elimination, or an E whitelist hit
+    whose duplicate-append would reorder the rotation) -- the caller then
+    reruns the standard phase machinery from scratch, so decisions and
+    recorded statistics are identical to the sequential path by
+    construction and only already-dispatched device tests are wasted."""
+    m = len(candidates)
+    max_k = cfg.max_k
+    wl_live = (whitelist.live_set() if hasattr(whitelist, "live_set")
+               else whitelist) or ()
+    if m == 1:
+        c0 = candidates[0]
+        entry = (NAN, NAN) if c0 in wl_live else support_dict[c0]
+        return HitonState("F", {c0: entry}, {c0: entry}, [], {})
+    stE = _subset_total(m - 1, max_k)
+    total = sum(_subset_total(k, max_k) for k in range(1, m)) + m * stE
+    if stE > SUBSET_CHUNK or total > TURBO_TEST_BUDGET:
+        return None
+    cands_np = np.asarray(candidates, np.int32)
+    IDX, KV, COUNTS = _turbo_template(m, max_k)
+    got = yield ("miwin", T, candidates[1:] + candidates,
+                 cands_np[IDX], KV, COUNTS, False)
+    exit_e, wstat, wpval = got
+    # interleaving scan: candidate 0 auto-accepts (reference hiton.jl:57-59)
+    c0 = candidates[0]
+    TPC = {c0: (NAN, NAN) if c0 in wl_live else support_dict[c0]}
+    for k in range(1, m):
+        cand = candidates[k]
+        if cand in wl_live:
+            TPC[cand] = (NAN, NAN)
+        elif int(exit_e[k - 1]) < 0:
+            TPC[cand] = (float(wstat[k - 1]), float(wpval[k - 1]))
+        else:
+            return None                 # I rejection: speculation dead
+    # elimination scan over the rotation
+    PC = {}
+    off = m - 1
+    for k in range(m):
+        cand = candidates[k]
+        if cand in wl_live:
+            return None                 # duplicate-append would de-sync
+        if int(exit_e[off + k]) < 0:
+            PC[cand] = (float(wstat[off + k]), float(wpval[off + k]))
+        else:
+            return None                 # elimination: fall back
+    # min-weight reconciliation (reference: src/hiton.jl:249-256)
+    if cfg.no_red_tests or cfg.fast_elim:
+        for nbr in PC:
+            tv = TPC.get(nbr)
+            if tv is not None and (tv[1] > PC[nbr][1]
+                                   or math.isnan(PC[nbr][1])):
+                PC[nbr] = tv
+    return HitonState("F", PC, TPC, [], {})
+
+
 def si_hiton_pc_gen(T: int, cfg: HitonConfig, engine,
                     univar_nbrs: NbrStatDict,
                     prev_state: Optional[HitonState] = None,
@@ -862,6 +1063,13 @@ def si_hiton_pc_gen(T: int, cfg: HitonConfig, engine,
             prev_TPC = {}
         if not candidates and not candidates_unchecked and not prev_TPC:
             return _empty_state()
+
+        if (prev_state.phase == "S" and cfg.discrete and not cfg.bnb
+                and not blacklist and candidates and fast_mode(cfg)):
+            done = yield from _turbo_target(T, candidates, cfg, engine,
+                                            univar_nbrs, whitelist)
+            if done is not None:
+                return done
 
         TPC_dict, candidates_unchecked = yield from phase_backend(
             T, candidates, cfg, engine, "I", prev_TPC, candidates_unchecked,

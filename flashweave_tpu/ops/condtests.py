@@ -460,20 +460,26 @@ class CondTestEngine:
             # the contingency kernel can run over the sliced cells only
             self.nzu = bool(self.nz and self.L == 3
                             and (self.max_vals > 1).all())
-            # on-device digest path (opt-in): per-candidate decisions are
-            # computed by segment reductions on device and ship as one tiny
-            # fetch.  Measured on the tunneled v5e it is warm-neutral (the
-            # host digest + packed fetch it replaces cost ~0.3 s at 10k
-            # OTUs) but adds ~100 s of one-time XLA compiles (the
-            # closed-form log-p unrolls one branch per df value), so it
-            # stays off unless requested -- the tradeoff flips on hardware
-            # with local compilation or for multi-host runs where every
-            # process reads the replicated digest locally.
+            # on-device digest path: per-candidate decisions are computed by
+            # segment reductions on device and ship as one tiny fetch.
+            # DEFAULT ON for TPU backends since round 4: with the full-target
+            # speculative windows the packed per-test fetch became the
+            # conditional stage's largest cost (measured 10k-OTU warm:
+            # conditional 0.95 s host-digest vs 0.74 s device-digest), while
+            # earlier rounds' host-bound schedulers saw no warm win.  Off-TPU
+            # it stays opt-in (the digest kernels would recompile per shape
+            # on every CPU test run for no latency benefit).  Opt out with
+            # FLASHWEAVE_DEV_DIGEST=0.  Decision parity: significance
+            # classifies via the f32 closed-form log p-value on TPU --
+            # near-threshold tests within ~1e-7 relative of alpha can flip
+            # vs the host float64 digest (bounded by tests/test_condtests
+            # digest-parity tests and the TPU golden-parity bench gate).
             import os as _os
 
+            _env = _os.environ.get("FLASHWEAVE_DEV_DIGEST")
             self.dev_digest = (
-                (_os.environ.get("FLASHWEAVE_DEV_DIGEST") == "1"
-                 or FORCE_DEV_DIGEST)
+                (_env == "1" or FORCE_DEV_DIGEST
+                 or (_env != "0" and jax.default_backend() == "tpu"))
                 and (self.L - 1) ** 2 * self.S_hist <= 128
             )
             # narrow (2, B) result packing needs df < 2^10 (f32 path) and
