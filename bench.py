@@ -252,7 +252,8 @@ def golden_parity_bench():
     tsv = os.path.join(REFERENCE_DATA, "HMP_SRA_gut", "HMP_SRA_gut_small.tsv")
     ok = True
     detail = {}
-    for test, sens, het in (("mi_nz", False, True), ("fz_nz", True, True)):
+    for test, sens, het in (("mi_nz", False, True), ("fz_nz", True, True),
+                            ("mi", False, False), ("fz", True, False)):
         exp = load_network(os.path.join(
             REFERENCE_DATA, "learning_expected",
             f"exp_{test}_maxk3.edgelist")).graph

@@ -73,10 +73,19 @@ class SearchControl:
     per-job time limit and come back to the master for requeueing
     (src/interleaved.jl:119-124 marks only non-'F'/'C' *results* as 'C';
     fresh jobs from the waiting stack always run a full pass).  The flag is
-    therefore consulted exclusively at time-limit checkpoints."""
+    therefore consulted exclusively at time-limit checkpoints.
+
+    ``now_fn`` is the clock every JobClock reads.  Default: wall time.  The
+    multi-process scheduler replaces it with a rank-0-broadcast value that
+    updates once per round, so every time-limit checkpoint decision is
+    IDENTICAL on every process (a divergent decision would fork the
+    processes' shard_map request streams and desync the collectives)."""
 
     def __init__(self):
+        import time as _time
+
         self.converged = False
+        self.now_fn = _time.time
 
 
 class JobClock:
@@ -86,21 +95,20 @@ class JobClock:
     checkpoint that is immediately resumed is equivalent to resetting the
     timer and continuing."""
 
-    def __init__(self, time_limit: float):
+    def __init__(self, time_limit: float, now_fn=None):
         import time as _time
 
-        self._time = _time
+        self._now = now_fn or _time.time
         self.time_limit = time_limit
-        self.start = _time.time() if time_limit > 0.0 else 0.0
+        self.start = self._now() if time_limit > 0.0 else 0.0
 
     def expired(self) -> bool:
-        from ..utils.misc import stop_reached
-
-        return stop_reached(self.start, self.time_limit)
+        return (self.time_limit > 0.0
+                and self._now() - self.start > self.time_limit)
 
     def reset(self) -> None:
         if self.time_limit > 0.0:
-            self.start = self._time.time()
+            self.start = self._now()
 
 
 def _empty_state(phase="F") -> HitonState:
@@ -1015,7 +1023,7 @@ def si_hiton_pc_gen(T: int, cfg: HitonConfig, engine,
 
     # per-job clock, started when this target's search actually begins
     # (generator body runs on first advance; reference: src/hiton.jl:305)
-    clock = JobClock(cfg.time_limit)
+    clock = JobClock(cfg.time_limit, control.now_fn)
 
     if cfg.max_k <= 0:
         TPC_dict: NbrStatDict = {}

@@ -152,7 +152,8 @@ def learn_network(
             make_onehot=make_onehot, max_tests=max_tests, hps=hps, FDR=FDR,
             n_obs_min=n_obs_min, cache_pcor=cache_pcor, time_limit=time_limit,
             update_interval=update_interval, parallel_mode=parallel_mode,
-            extra_data=extra, share_data=share_data, **experimental_kwargs,
+            extra_data=extra, share_data=share_data, profile_dir=profile_dir,
+            **experimental_kwargs,
         )
     if isinstance(data, str):
         if verbose:

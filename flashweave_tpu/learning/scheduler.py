@@ -230,6 +230,30 @@ class RoundScheduler:
         self.adj: Dict[int, Set[int]] = {}
         self.n_edges = 0
         self.dispatcher = Dispatcher(engine, cfg.alpha, fast=fast_mode(cfg))
+        # multi-process determinism: convergence and time-limit decisions
+        # must be identical on every process or the shard_map request
+        # streams fork and the collectives desync -- rank 0's wall clock is
+        # broadcast once per round and governs every clock read
+        import jax
+
+        self._multiproc = (engine.mesh is not None
+                           and jax.process_count() > 1)
+        if self._multiproc and jax.process_index() != 0:
+            self.verbose = False        # progress printing is rank 0's job
+        self._now_val = time.time()
+
+    def _tick(self) -> float:
+        """Advance and return the scheduler clock.  Single-process: wall
+        time.  Multi-process: rank 0's wall time via one tiny psum (the only
+        extra collective per round)."""
+        if self._multiproc:
+            from ..parallel.mesh import bcast_scalar_from_rank0
+
+            self._now_val = bcast_scalar_from_rank0(self.engine.mesh,
+                                                    time.time())
+        else:
+            self._now_val = time.time()
+        return self._now_val
 
     # -- graph tracking (reference: src/interleaved.jl:101-141) -------------
 
@@ -263,7 +287,11 @@ class RoundScheduler:
 
     def run(self) -> Dict[int, HitonState]:
         control = SearchControl()
-        start_time = time.time()
+        start_time = self._tick()
+        if self._multiproc:
+            # JobClocks read the round-quantized broadcast value, so every
+            # process takes the same checkpoint decisions at the same points
+            control.now_fn = lambda: self._now_val
         gens = {}
         for T in self.targets:
             wl = LiveWhitelist(self.adj, T) if self.feed_forward else None
@@ -364,7 +392,7 @@ class RoundScheduler:
                 if pending:
                     inflight[ci] = self._dispatch_begin(pending)
 
-            now = time.time()
+            now = self._tick()
             if self.verbose and now - last_update > self.update_interval:
                 done = jobs_total - len(active)
                 print(

@@ -60,6 +60,50 @@ def batch_sharded(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("d"))
 
 
+def bcast_scalar_from_rank0(mesh: Mesh, value: float) -> float:
+    """Every process passes its local value; all receive PROCESS 0's.
+
+    Used for the multi-process deterministic clock: wall-clock decisions
+    (convergence, time-limit checkpoints) must be identical on every process
+    or their shard_map request streams fork and the collectives desync
+    (reference contract: src/interleaved.jl:203-230 runs convergence on the
+    single master).  One tiny psum per scheduler round; device 0 always
+    belongs to process 0."""
+    import jax.numpy as jnp
+    from jax import lax
+    from functools import lru_cache
+
+    fn = _bcast_fn(mesh)
+    ndev_loc = len([d for d in mesh.devices.flat
+                    if d.process_index == jax.process_index()])
+    local = np.full(ndev_loc, float(value))
+    if jax.process_count() == 1:
+        x = jax.device_put(local, NamedSharding(mesh, P("d")))
+    else:
+        x = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P("d")), local)
+    return float(fn(x))
+
+
+def _bcast_fn(mesh: Mesh):
+    import jax.numpy as jnp
+    from jax import lax
+
+    fn = _BCAST_CACHE.get(mesh)
+    if fn is None:
+        def body(x):
+            v = jnp.where(jax.lax.axis_index("d") == 0, x[0], 0.0)
+            return lax.psum(v, "d")
+
+        fn = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=P("d"),
+                                   out_specs=P(), check_vma=False))
+        _BCAST_CACHE[mesh] = fn
+    return fn
+
+
+_BCAST_CACHE: dict = {}
+
+
 def pad_to_multiple(x: np.ndarray, multiple: int, axis: int,
                     value=0) -> np.ndarray:
     size = x.shape[axis]

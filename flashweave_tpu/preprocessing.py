@@ -549,6 +549,16 @@ DEFAULT_NORM_DICT = {
 
 def _target_dtype(prec: int, continuous: bool):
     # reference: src/misc.jl:47-62
+    if prec == 128:
+        # the reference advertises 128 but its own eval(Symbol("Float128"))
+        # fails in base Julia (src/misc.jl:47-52); accept it as a documented
+        # float64/int64 cast instead of erroring
+        import warnings
+
+        warnings.warn("prec=128 is not natively supported; using 64-bit "
+                      "precision (the reference's Float128 path fails in "
+                      "base Julia as well)")
+        prec = 64
     fmap = {16: np.float16, 32: np.float32, 64: np.float64}
     imap = {16: np.int16, 32: np.int32, 64: np.int64}
     m = fmap if continuous else imap

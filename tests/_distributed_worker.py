@@ -25,6 +25,9 @@ jax.config.update("jax_num_cpu_devices", 2)
 # backend client exists
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/fw_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from flashweave_tpu.parallel.distributed import initialize_from_env  # noqa: E402
 
@@ -77,6 +80,41 @@ def main():
     assert eng_fz.cor_device
     fstat, fpval, _, _ = eng_fz.fz_tests_raw(X, Y, Zs, kv)
 
+    # -- full end-to-end learn_network across BOTH processes (the
+    #    reference's scale-out contract: a complete inference with workers
+    #    attached, reference test/learning.jl:176-237) -------------------
+    import flashweave_tpu as fw
+
+    tsv = "/root/reference/test/data/HMP_SRA_gut/HMP_SRA_gut_small.tsv"
+    nets = {}
+    if os.path.isdir("/root/reference/test/data"):
+        for name, sens, het, kw in (
+            ("mi_nz", False, True, dict(n_obs_min=160)),
+            ("fz_nz", True, True, {}),
+            # exercises the rank-0-broadcast deterministic clock: checkpoint
+            # and convergence decisions must be identical on both processes
+            ("mi_nz_timed", False, True,
+             dict(n_obs_min=160, time_limit=0.02, conv=0.01)),
+        ):
+            res = fw.learn_network(
+                tsv, sensitive=sens, heterogeneous=het, max_k=3, prec=64,
+                parallel_mode="multi_il", verbose=False,
+                **({"time_limit": 0.0, "conv": 0.0} if "timed" not in name
+                   else {}), **kw,
+            )
+            g = fw.graph(res)
+            nets[name] = np.array(
+                [(u, v, w) for u, v, w in g.edges()], dtype=np.float64
+            ).reshape(-1, 3)
+
+    # EVERY process writes its own results: the test asserts bit-identical
+    # networks across processes (multi-process determinism)
+    np.savez(out_path + f".rank{jax.process_index()}",
+             pairs=np.array(pairs, dtype=np.float64).reshape(-1, 4),
+             stat=stat, pval=pval, df=df, suff=suff,
+             fstat=fstat, fpval=fpval,
+             X=X, Y=Y, Zs=Zs, kv=kv,
+             **{f"net_{k}": v for k, v in nets.items()})
     if jax.process_index() == 0:
         np.savez(out_path,
                  pairs=np.array(pairs, dtype=np.float64).reshape(-1, 4),

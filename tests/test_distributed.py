@@ -102,3 +102,31 @@ def test_two_process_parity(tmp_path):
     np.testing.assert_array_equal(got["suff"], suff)
     np.testing.assert_allclose(got["fstat"], fstat, rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(got["fpval"], fpval, rtol=1e-9, atol=1e-300)
+
+    # -- full 2-process learn_network: identical networks on every process
+    #    (deterministic multi-process LGL incl. the rank-0-broadcast clock)
+    #    + golden parity for the untimed runs (reference
+    #    test/learning.jl:176-237 runs the full matrix with a worker added)
+    r0 = np.load(out + ".rank0.npz")
+    r1 = np.load(out + ".rank1.npz")
+    net_keys = [k for k in r0.files if k.startswith("net_")]
+    if not net_keys:
+        pytest.skip("reference data unavailable for e2e networks")
+    assert set(net_keys) == {"net_mi_nz", "net_fz_nz", "net_mi_nz_timed"}
+    for k in net_keys:
+        np.testing.assert_array_equal(
+            r0[k], r1[k],
+            err_msg=f"{k}: networks differ across processes")
+
+    import flashweave_tpu as fw
+
+    for k, name in (("net_mi_nz", "mi_nz"), ("net_fz_nz", "fz_nz")):
+        gold = fw.load_network(
+            "/root/reference/test/data/learning_expected/"
+            f"exp_{name}_maxk3.edgelist").graph
+        got_edges = {(int(u), int(v)) for u, v, _ in r0[k]}
+        exp_edges = {(u, v) for u, v, _ in gold.edges()}
+        assert got_edges == exp_edges, (
+            f"{name}: 2-process network != reference golden "
+            f"(only in got: {got_edges - exp_edges}, "
+            f"only in golden: {exp_edges - got_edges})")

@@ -405,3 +405,29 @@ def test_bnb_frontier_batching():
     assert requests[0] == len(Z_total)   # whole level-1 frontier in one go
     # one request per frontier, far fewer than one per test
     assert len(requests) * 4 <= n_tests, (len(requests), n_tests)
+
+
+def test_path_list_entry_forwards_profile_dir(tmp_path, monkeypatch):
+    """The multi-dataset (path-list) learn_network entry must forward
+    profile_dir to the matrix entry (regression: it was silently dropped)."""
+    import flashweave_tpu.learning.network as net
+
+    seen = {}
+    import flashweave_tpu.learning.lgl as lglmod
+
+    orig = lglmod.LGL
+
+    def spy(*a, **k):
+        seen["profile_dir"] = k.get("profile_dir")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(net, "LGL", spy)
+    from conftest import has_reference_data
+
+    if not has_reference_data():
+        pytest.skip("reference data unavailable")
+    tsv = reference_data_path("HMP_SRA_gut", "HMP_SRA_gut_small.tsv")
+    pdir = str(tmp_path / "prof")
+    net.learn_network([tsv], max_k=0, verbose=False, prec=64,
+                      profile_dir=pdir)
+    assert seen["profile_dir"] == pdir

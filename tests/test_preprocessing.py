@@ -260,3 +260,19 @@ class TestSparseIngestion:
                                 meta_mask=meta_mask, verbose=False, prec=64)
         np.testing.assert_allclose(sparse.data, dense.data, rtol=1e-12)
         np.testing.assert_array_equal(sparse.meta_mask, dense.meta_mask)
+
+
+def test_prec_128_casts_to_64_with_warning():
+    """prec=128 is accepted as a documented float64 cast (the reference's
+    own Float128 eval fails in base Julia, src/misc.jl:47-52)."""
+    import warnings
+
+    from flashweave_tpu.preprocessing import _target_dtype
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _target_dtype(128, True) is np.float64
+        assert _target_dtype(128, False) is np.int64
+    assert any("128" in str(x.message) for x in w)
+    with pytest.raises(ValueError):
+        _target_dtype(48, True)
