@@ -207,6 +207,23 @@ def lgl_bench(n=2048, p=10000, group=5, max_k=3):
     )
 
 
+def lgl_scale_bench(p=98304, n=2048, max_k=3):
+    """FULL end-to-end LGL (univariate + conditional HITON search) at the
+    reference's headline ~100k-variable regime (reference: README.md:8,183)
+    -- not just the univariate pass.  One warm-ish measurement: the run
+    reuses every kernel shape the 10k/65k benches compiled, so the
+    dominant costs are genuine compute/transfer."""
+    data = _synth_table(n, p, 8, seed=0)
+    r = lgl_run(data, max_k)
+    return {
+        f"lgl_p{p}_edges_per_sec": r["edges_per_sec"],
+        f"lgl_p{p}_n_edges": r["n_edges"],
+        f"lgl_p{p}_total_sec": r["total_sec"],
+        f"lgl_p{p}_cond_tests_per_sec": r["cond_tests_per_sec"],
+        f"lgl_p{p}_n_cond_tests": r["n_cond_tests_dispatched"],
+    }
+
+
 def scale_bench(p=65536, n=2048):
     """Univariate extraction beyond the former 2^31-covered-pairs hard
     limit.  Warm number: second call in-process (persistent compile cache);
@@ -292,6 +309,8 @@ def main():
         extra.update(scale_bench(65536, 2048))
         # the reference's headline ~100k-variable regime (4.8e9 pairs)
         extra.update(scale_bench(98304, 2048))
+        # full inference (not just univariate) at the headline regime
+        extra.update(lgl_scale_bench(98304, 2048))
     else:
         mi_tps, fz_tps = univar_bench(1024, 512)
         extra = lgl_bench(256, 500)

@@ -86,6 +86,16 @@ class SearchControl:
 
         self.converged = False
         self.now_fn = _time.time
+        # adaptive full-target speculation: when mispredicts (which rerun
+        # the standard path from scratch) exceed ~40% of attempts, stop
+        # speculating for the rest of the run.  Counter-based, so the
+        # decision is deterministic and identical on every process.
+        self.turbo_attempts = 0
+        self.turbo_fallbacks = 0
+
+    def turbo_worthwhile(self) -> bool:
+        a = self.turbo_attempts
+        return a < 256 or 5 * self.turbo_fallbacks <= 2 * a
 
 
 class JobClock:
@@ -906,8 +916,14 @@ def _consume_window(T, cand, cfg, engine, got, gi, Zarr, kvec, a):
 # full per-target search (reference: src/hiton.jl:283-400)
 # ---------------------------------------------------------------------------
 
-# device-test budget for the single full-target speculative window
-TURBO_TEST_BUDGET = 2600
+# device-test budget for the single full-target speculative window.
+# Waste scales ~m^3 with the candidate count while the early-exit path's
+# real work scales ~m, so deep speculation only pays while the saved host
+# round-trips dominate -- measured on v5e, 700 (m <= 8) keeps the 10k-OTU
+# turbo coverage (m ~ 3-5) while holding the 65k-variable dispatch
+# inflation to ~15% (2600 nearly DOUBLED it and the tunnel serializes
+# transfers with compute, so wasted device work is pure wall time there).
+TURBO_TEST_BUDGET = 700
 
 # full-target window layouts keyed by (m, max_k): every Z entry is an index
 # into the target's candidate array, so one cached template + one fancy
@@ -941,7 +957,8 @@ def _turbo_template(m: int, max_k: int):
     return tpl
 
 
-def _turbo_target(T, candidates, cfg, engine, support_dict, whitelist):
+def _turbo_target(T, candidates, cfg, engine, support_dict, whitelist,
+                  control):
     """ONE speculative window covering the target's whole search: every
     interleaving candidate conditioned on the all-accept prefix
     (Zs_k = candidates[:k]) plus the all-accept elimination rotation.
@@ -969,6 +986,7 @@ def _turbo_target(T, candidates, cfg, engine, support_dict, whitelist):
         return None
     cands_np = np.asarray(candidates, np.int32)
     IDX, KV, COUNTS = _turbo_template(m, max_k)
+    control.turbo_attempts += 1
     got = yield ("miwin", T, candidates[1:] + candidates,
                  cands_np[IDX], KV, COUNTS, False)
     exit_e, wstat, wpval = got
@@ -982,6 +1000,7 @@ def _turbo_target(T, candidates, cfg, engine, support_dict, whitelist):
         elif int(exit_e[k - 1]) < 0:
             TPC[cand] = (float(wstat[k - 1]), float(wpval[k - 1]))
         else:
+            control.turbo_fallbacks += 1
             return None                 # I rejection: speculation dead
     # elimination scan over the rotation
     PC = {}
@@ -989,10 +1008,12 @@ def _turbo_target(T, candidates, cfg, engine, support_dict, whitelist):
     for k in range(m):
         cand = candidates[k]
         if cand in wl_live:
+            control.turbo_fallbacks += 1
             return None                 # duplicate-append would de-sync
         if int(exit_e[off + k]) < 0:
             PC[cand] = (float(wstat[off + k]), float(wpval[off + k]))
         else:
+            control.turbo_fallbacks += 1
             return None                 # elimination: fall back
     # min-weight reconciliation (reference: src/hiton.jl:249-256)
     if cfg.no_red_tests or cfg.fast_elim:
@@ -1073,9 +1094,10 @@ def si_hiton_pc_gen(T: int, cfg: HitonConfig, engine,
             return _empty_state()
 
         if (prev_state.phase == "S" and cfg.discrete and not cfg.bnb
-                and not blacklist and candidates and fast_mode(cfg)):
+                and not blacklist and candidates and fast_mode(cfg)
+                and control.turbo_worthwhile()):
             done = yield from _turbo_target(T, candidates, cfg, engine,
-                                            univar_nbrs, whitelist)
+                                            univar_nbrs, whitelist, control)
             if done is not None:
                 return done
 

@@ -250,6 +250,15 @@ def _lgl_timed(
             n_obs_min, hps, dense_cor, verbose, data_dev_out=_dev_out,
         )
     data_dev = _dev_out[0] if _dev_out else None
+    if data_dev is None and not isdiscrete(test_name) and mesh is None:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            # one (possibly f16-compressed) upload serves the univariate
+            # sweep and the conditioning engine
+            from ..ops.univariate import put_continuous
+
+            data_dev = put_continuous(np.asarray(data))
 
     if all_univar_nbrs is None:
         if verbose:

@@ -561,6 +561,7 @@ class Dispatcher:
         handful of vectorized numpy passes (_assemble_round) instead of
         per-window tile/repeat calls."""
         mi_win, mi_slots = [], []     # (T, cands, Zdata, kdata, counts|None)
+        mi_bare, mi_bare_slots = [], []   # legacy chunked "mi" requests
         fz_win, fz_slots = [], []
         mcor_pairs, mcor_vls = [], []
         mcor_slots = []   # (T, kind, n_cands)
@@ -568,7 +569,12 @@ class Dispatcher:
             kind = r[0]
             if kind in ("mi", "fz"):
                 _, _, cand, Zarr, kvec = r
-                win, slots = (mi_win, mi_slots) if kind == "mi" else (
+                # bare "mi" requests need full packed results (the chunked
+                # generator consumes stats directly), so they dispatch
+                # SEPARATELY from the digest-eligible windows -- one legacy
+                # request must not force the whole round off the on-device
+                # digest path
+                win, slots = (mi_bare, mi_bare_slots) if kind == "mi" else (
                     fz_win, fz_slots)
                 win.append((T, (cand,), Zarr, kvec, None))
                 slots.append((T, kind, 1))
@@ -592,8 +598,7 @@ class Dispatcher:
 
         mi_h = None
         dev_digest = (self.fast and mi_win
-                      and getattr(self.engine, "dev_digest", False)
-                      and all(k != "mi" for _, k, _ in mi_slots))
+                      and getattr(self.engine, "dev_digest", False))
         if mi_win:
             Xs, Ys, Zs, ks, counts, order = _assemble_round(mi_win)
             mi_slots = [mi_slots[i] for i in order]
@@ -603,6 +608,12 @@ class Dispatcher:
             else:
                 handle = self.engine.mi_tests_begin(Xs, Ys, Zs, ks)
             mi_h = (handle, mi_slots, counts, dev_digest)
+        mi_bare_h = None
+        if mi_bare:
+            Xs, Ys, Zs, ks, counts, order = _assemble_round(mi_bare)
+            mi_bare_slots = [mi_bare_slots[i] for i in order]
+            mi_bare_h = (self.engine.mi_tests_begin(Xs, Ys, Zs, ks),
+                         mi_bare_slots, counts, False)
         fz_h = None
         if fz_win:
             Xs, Ys, Zs, ks, counts, order = _assemble_round(fz_win)
@@ -613,13 +624,18 @@ class Dispatcher:
         if mcor_pairs:
             mcor_h = (self.engine.masked_cor_begin(mcor_pairs, mcor_vls),
                       mcor_slots)
-        return mi_h, fz_h, mcor_h
+        return (mi_h, mi_bare_h), fz_h, mcor_h
 
     def finish(self, bundle, responses: Dict[int, object]):
         """Block on a begin() bundle and scatter per-window result
         views, each with precomputed per-candidate early-exit/weakest
         digests."""
-        mi_h, fz_h, mcor_h = bundle
+        (mi_h, mi_bare_h), fz_h, mcor_h = bundle
+        for mi_h in (mi_h, mi_bare_h):
+            self._finish_mi(mi_h, responses)
+        self._finish_fz_mcor(fz_h, mcor_h, responses)
+
+    def _finish_mi(self, mi_h, responses: Dict[int, object]):
         if mi_h is not None and mi_h[3]:
             # on-device digest: one tiny fetch of per-candidate decisions
             handle, mi_slots, counts, _ = mi_h
@@ -657,6 +673,8 @@ class Dispatcher:
                                     exit_e[ri:ri + w], w_loc[ri:ri + w],
                                     maxp[ri:ri + w], epv[ri:ri + w])
                 ri += w
+
+    def _finish_fz_mcor(self, fz_h, mcor_h, responses: Dict[int, object]):
         if fz_h is not None:
             handle, fz_slots, counts = fz_h
             stat, pval, df, suff = self.engine.fz_tests_finish(handle)

@@ -48,6 +48,12 @@ N_TESTS_DISPATCHED = 0
 # max elements in flight for the gathered (rows, B, m) masked-cor tensor
 MCOR_ROW_BUDGET = 1 << 26
 
+# giant round batches dispatch in fixed full-size chunks of this many scan
+# segments (one compiled shape reused) plus a pow2-bucketed remainder --
+# the former single pow2-padded mega-dispatch wasted up to ~64% of the
+# descriptor upload as padding at production scale
+CHUNK_SEGS = 1024
+
 
 def _prefetch(x):
     """Enqueue the device->host copy right after dispatch: the transfer
@@ -68,14 +74,19 @@ def _bucket(b: int) -> int:
     return ((b + BATCH_BUCKETS[-1] - 1) // BATCH_BUCKETS[-1]) * BATCH_BUCKETS[-1]
 
 
+# pow2 segment-count buckets: every DISTINCT scan shape costs a remote
+# retrace/compile (measured 10-24 s on the tunneled toolchain even with the
+# persistent cache).  The digest NC axis is TIED to the bucket (two
+# variants), so the total shape space is ~2x the ladder length and the fn
+# caches never thrash
+NSEG_BUCKETS = (4, 8, 16, 32, 64, 128, 256, 512, CHUNK_SEGS)
+
+
 def _nseg_bucket(k: int) -> int:
-    """Segment-count bucket for the scanned mega-batch: powers of two above
-    8, so only ~log2(B_max/seg) scan shapes ever compile.  Padded segments
-    cost microseconds of device compute; a fresh XLA compile over the
-    tunneled chip costs tens of seconds."""
-    if k <= 8:
-        return k
-    return 1 << (k - 1).bit_length()
+    for b in NSEG_BUCKETS:
+        if k <= b:
+            return b
+    return CHUNK_SEGS
 
 
 # ---------------------------------------------------------------------------
@@ -193,7 +204,7 @@ def _sharded_mi_cond_fn(mesh, Bloc, max_k, L, S, nz, nzu, pack2):
     ))
 
 
-@lru_cache(maxsize=8)
+@lru_cache(maxsize=64)
 def _mi_cond_digest_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz, nzu, pack2,
                             NC, max_df):
     """Scan kernel + ON-DEVICE per-candidate digest.
@@ -206,12 +217,15 @@ def _mi_cond_digest_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz, nzu, pack2,
     closed-form log p-value; the weakest tie-break (bit-equal log-p ->
     LAST index) matches the host digest's semantics at working precision.
     """
-    def fn(data, levels, maxv, X, Y, Zs, kvec, hps, segid, locidx, offsets,
-           la):
+    def fn(data, levels, maxv, X, Y, Zs, kvec, hps, counts, la):
         def body(carry, seg):
             Xs, Ys, Zss, ks = seg
-            return carry, _mi_cond_kernel(data, levels, maxv, Xs, Ys, Zss,
-                                          ks, hps, Bloc, max_k, L, S, nz,
+            return carry, _mi_cond_kernel(data, levels, maxv,
+                                          Xs.astype(jnp.int32),
+                                          Ys.astype(jnp.int32),
+                                          Zss.astype(jnp.int32),
+                                          ks.astype(jnp.int32),
+                                          hps, Bloc, max_k, L, S, nz,
                                           nzu)
 
         _, (stat, df, nobs, suff) = jax.lax.scan(body, 0, (X, Y, Zs, kvec))
@@ -224,7 +238,16 @@ def _mi_cond_digest_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz, nzu, pack2,
         df = df.reshape(-1)
         nobs = nobs.reshape(-1)
         suff = suff.reshape(-1)
-        packed = _pack4(stat, df, nobs, suff, pack2=pack2)
+        # segment bookkeeping is DERIVED ON DEVICE from the (NC,) counts
+        # vector: the descriptor upload was the production-scale wall (the
+        # (B,) int32 segid/locidx arrays more than doubled it)
+        Bp = stat.shape[0]
+        ends = jnp.cumsum(counts)
+        offsets = ends - counts
+        iota = jnp.arange(Bp, dtype=jnp.int32)
+        segid = jnp.searchsorted(ends, iota, side="right").astype(jnp.int32)
+        segid = jnp.minimum(segid, NC - 1)
+        locidx = iota - jnp.take(offsets, segid)
         logp = sf.mi_logpval_smalldf(stat, df, nobs, max_df, xp=jnp)
         logp = lax.optimization_barrier(jnp.where(suff, logp, 0.0))
         sig = logp < la
@@ -245,19 +268,19 @@ def _mi_cond_digest_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz, nzu, pack2,
         fdt = stat.dtype
         digest = jnp.stack([exit_e.astype(fdt), wstat.astype(fdt),
                             jnp.exp(M).astype(fdt)])
-        return packed, digest
+        return digest
 
     if mesh is None:
         return jax.jit(fn)
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(), P(), P(), P(None, "d"), P(None, "d"), P(None, "d"),
-                  P(None, "d"), P(), P(), P(), P(), P()),
-        out_specs=(P(), P()), check_vma=False,
+                  P(None, "d"), P(), P(), P()),
+        out_specs=P(), check_vma=False,
     ))
 
 
-@lru_cache(maxsize=16)
+@lru_cache(maxsize=64)
 def _mi_cond_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz, nzu, pack2):
     """lax.scan of the conditional MI kernel over ``nseg`` fixed-size
     segments -- ONE device dispatch per scheduler round no matter how large
@@ -267,8 +290,12 @@ def _mi_cond_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz, nzu, pack2):
     def scan_body(data, levels, maxv, X, Y, Zs, kvec, hps):
         def body(carry, seg):
             Xs, Ys, Zss, ks = seg
-            out = _pack4(*_mi_cond_kernel(data, levels, maxv, Xs, Ys, Zss,
-                                          ks, hps, Bloc, max_k, L, S, nz,
+            out = _pack4(*_mi_cond_kernel(data, levels, maxv,
+                                          Xs.astype(jnp.int32),
+                                          Ys.astype(jnp.int32),
+                                          Zss.astype(jnp.int32),
+                                          ks.astype(jnp.int32),
+                                          hps, Bloc, max_k, L, S, nz,
                                           nzu), pack2=pack2)
             return carry, out
 
@@ -438,9 +465,16 @@ class CondTestEngine:
             # discrete levels fit int8: 4x less tunnel upload; the conditional
             # kernel promotes to f32 for statistics
             self.data_j = jnp.asarray(np.asarray(data, dtype=np.int8))
+        elif not self.discrete:
+            # large continuous tables ship f16 + widen on device (half the
+            # transfer; see univariate.put_continuous)
+            from .univariate import put_continuous
+
+            self.data_j = put_continuous(np.asarray(data), mesh)
         else:
             self.data_j = jnp.asarray(data, dtype=dtype)
-        if mesh is not None:
+        if mesh is not None and self.discrete:
+            # continuous tables were already placed by put_continuous
             from ..parallel.mesh import put_replicated
 
             self.data_j = put_replicated(self.data_j, mesh)
@@ -509,18 +543,30 @@ class CondTestEngine:
 
     # -- discrete -----------------------------------------------------------
 
+    def _desc_dtype(self):
+        """Narrowest dtype for variable-id descriptor uploads (the scan
+        kernels widen on device)."""
+        return np.uint16 if self.p <= (1 << 16) else np.int32
+
     def mi_tests_begin(self, X: np.ndarray, Y: np.ndarray, Zs: np.ndarray,
                        kvec: np.ndarray):
         """Launch B conditional MI tests asynchronously (jax dispatch does
         not block); returns an opaque handle for mi_tests_finish.  Lets the
-        scheduler overlap host-side bookkeeping with device execution."""
+        scheduler overlap host-side bookkeeping with device execution.
+        Giant batches dispatch in CHUNK_SEGS-segment chunks."""
         global N_TESTS_DISPATCHED
         B = len(X)
         N_TESTS_DISPATCHED += B
         seg = BATCH_BUCKETS[-1]
         if B <= seg:
-            return self._mi_tests_seg(X, Y, Zs, kvec)
-        return self._mi_tests_scan(X, Y, Zs, kvec, seg)
+            return [self._mi_tests_seg(X, Y, Zs, kvec)]
+        max_chunk = CHUNK_SEGS * seg
+        return [
+            self._mi_tests_scan(X[s0:s0 + max_chunk], Y[s0:s0 + max_chunk],
+                                Zs[s0:s0 + max_chunk],
+                                kvec[s0:s0 + max_chunk], seg)
+            for s0 in range(0, B, max_chunk)
+        ]
 
     def _unpack(self, out, Bp):
         """ONE device fetch -> host (stat, df, n_obs, suff) float64 views."""
@@ -541,9 +587,7 @@ class CondTestEngine:
 
     def mi_tests_finish(self, handle):
         """Block on a mi_tests_begin handle; returns (stat, pval, df, suff)."""
-        out, B, Bp = handle
-        stat, df, n_obs, suff = self._unpack(out, Bp)
-        stat, df, n_obs, suff = stat[:B], df[:B], n_obs[:B], suff[:B]
+        stat, df, n_obs, suff = self.mi_tests_finish_lazy(handle)
         pval = np.where(suff, sf.mi_pval(stat, df, n_obs), 1.0)
         return stat, pval, df, suff
 
@@ -554,61 +598,97 @@ class CondTestEngine:
         chi2_g_threshold) and evaluates gammaincc only on the early-exit
         prefix, so the per-element host p-value pass over the padded
         mega-batch disappears."""
-        out, B, Bp = handle
-        stat, df, n_obs, suff = self._unpack(out, Bp)
-        return stat[:B], df[:B], n_obs[:B], suff[:B]
+        parts = [self._unpack(out, Bp) for out, _, Bp in handle]
+        if len(parts) == 1:
+            (stat, df, n_obs, suff), (_, B, _) = parts[0], handle[0]
+            return stat[:B], df[:B], n_obs[:B], suff[:B]
+        return tuple(
+            np.concatenate([p[i][: h[1]] for p, h in zip(parts, handle)])
+            for i in range(4)
+        )
 
     def mi_tests_begin_digest(self, X, Y, Zs, kvec, counts, alpha):
         """Launch B conditional MI tests plus their ON-DEVICE per-candidate
         digest (counts: per-candidate test counts; candidates are contiguous
-        segments of the batch).  Returns a handle for
-        mi_tests_finish_digest."""
+        segments of the batch).  Returns a handle for mi_tests_finish_digest.
+        Giant batches split at candidate boundaries into CHUNK_SEGS-segment
+        chunks so the descriptor upload carries no pow2-bucket padding."""
         global N_TESTS_DISPATCHED
         B = len(X)
         N_TESTS_DISPATCHED += B
+        seg = BATCH_BUCKETS[-1]
+        counts = np.asarray(counts, np.int64)
+        max_chunk = CHUNK_SEGS * seg
+        # candidate cap keeps every chunk in the small tied-NCp shape
+        # variant (digest downloads stay a few MB even for tiny-count mixes)
+        max_cand = max_chunk // 32
+        if B <= max_chunk and len(counts) <= max_cand:
+            return [self._digest_chunk(X, Y, Zs, kvec, counts, alpha)]
+        bounds = np.cumsum(counts)
+        handles = []
+        c0 = b0 = 0
+        while c0 < len(counts):
+            c1 = int(np.searchsorted(bounds, b0 + max_chunk, side="right"))
+            c1 = min(max(c1, c0 + 1), c0 + max_cand)
+            b1 = int(bounds[c1 - 1])
+            handles.append(self._digest_chunk(
+                X[b0:b1], Y[b0:b1], Zs[b0:b1], kvec[b0:b1],
+                counts[c0:c1], alpha))
+            c0, b0 = c1, b1
+        return handles
+
+    def _digest_chunk(self, X, Y, Zs, kvec, counts, alpha):
+        import math as _math
+
+        B = len(X)
         seg = BATCH_BUCKETS[-1]
         ndev = 1 if self.mesh is None else self.mesh.devices.size
         nseg = _nseg_bucket(-(-B // seg))
         Bp = nseg * seg
         NC_real = len(counts)
-        NCp = 1 << max(int(NC_real).bit_length(), 8)   # > NC_real
-        Xp = np.zeros(Bp, np.int32); Xp[:B] = X
-        Yp = np.zeros(Bp, np.int32); Yp[:B] = Y
-        Zp = np.zeros((Bp, self.max_k), np.int32); Zp[:B] = Zs
-        kp = np.zeros(Bp, np.int32); kp[:B] = kvec
-        offsets = np.zeros(NC_real, np.int64)
-        np.cumsum(np.asarray(counts[:-1], np.int64), out=offsets[1:])
-        segid = np.full(Bp, NCp - 1, np.int32)
-        segid[:B] = np.repeat(np.arange(NC_real, dtype=np.int32),
-                              np.asarray(counts, np.int64))
-        locidx = np.zeros(Bp, np.int32)
-        locidx[:B] = np.arange(B, dtype=np.int64) - offsets[segid[:B]]
-        offs_p = np.zeros(NCp, np.int32)
-        offs_p[:NC_real] = offsets
+        # NCp is TIED to the batch shape (two variants per nseg bucket), not
+        # to the candidate count: a free NCp axis multiplied the compiled
+        # shape space ~10x and recompiles cost 10-24 s each over the tunnel
+        NCp = Bp // 8 if NC_real < Bp // 8 else Bp + 8
+        ddt = self._desc_dtype()
+        Xp = np.zeros(Bp, ddt); Xp[:B] = X
+        Yp = np.zeros(Bp, ddt); Yp[:B] = Y
+        Zp = np.zeros((Bp, self.max_k), ddt); Zp[:B] = Zs
+        kp = np.zeros(Bp, np.int8); kp[:B] = kvec
+        # padded tail rides the sink segment NCp-1 (never a real candidate);
+        # segid/locidx derive from this vector ON DEVICE
+        cnt_p = np.zeros(NCp, np.int32)
+        cnt_p[:NC_real] = counts
+        cnt_p[NCp - 1] += Bp - B
         fdt = (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
         fn = _mi_cond_digest_scan_fn(
             self.mesh, nseg, seg // ndev, self.max_k, self.L, self.S_hist,
             self.nz, self.nzu, self.pack2, NCp,
             (self.L - 1) ** 2 * self.S_hist)
-        import math as _math
-
-        packed, digest = fn(
+        digest = fn(
             self.data_j, self.levels_j, self.maxv_j,
             Xp.reshape(nseg, seg), Yp.reshape(nseg, seg),
             Zp.reshape(nseg, seg, self.max_k), kp.reshape(nseg, seg),
-            float(self.hps), jnp.asarray(segid), jnp.asarray(locidx),
-            jnp.asarray(offs_p), jnp.asarray(_math.log(alpha), fdt))
-        return (packed, _prefetch(digest), B, Bp, NC_real)
+            float(self.hps), jnp.asarray(cnt_p),
+            jnp.asarray(_math.log(alpha), fdt))
+        return (None, _prefetch(digest), B, Bp, NC_real)
 
     def mi_tests_finish_digest(self, handle):
         """(exit_e, weakest stat, weakest pval) per candidate -- ONE tiny
-        fetch; the full packed results stay device-resident (fetch the
-        handle's first element on demand)."""
-        _packed, digest, B, Bp, NC_real = handle
-        d = np.asarray(digest)
-        return (d[0][:NC_real].astype(np.int64),
-                d[1][:NC_real].astype(np.float64),
-                d[2][:NC_real].astype(np.float64))
+        fetch per chunk; the full packed results stay device-resident."""
+        parts = [np.asarray(digest) for _, digest, _, _, _ in handle]
+        if len(parts) == 1:
+            d, nc = parts[0], handle[0][4]
+            return (d[0][:nc].astype(np.int64), d[1][:nc].astype(np.float64),
+                    d[2][:nc].astype(np.float64))
+        return (
+            np.concatenate([d[0][: h[4]] for d, h in zip(parts, handle)])
+            .astype(np.int64),
+            np.concatenate([d[1][: h[4]] for d, h in zip(parts, handle)])
+            .astype(np.float64),
+            np.concatenate([d[2][: h[4]] for d, h in zip(parts, handle)])
+            .astype(np.float64),
+        )
 
     def mi_tests_raw(self, X: np.ndarray, Y: np.ndarray, Zs: np.ndarray,
                      kvec: np.ndarray):
@@ -616,9 +696,8 @@ class CondTestEngine:
         Returns numpy arrays (stat, pval, df, suff).
 
         B up to the largest bucket compiles one fixed BATCH_BUCKETS shape;
-        larger batches run as ONE device dispatch scanning fixed-size
-        segments (lax.scan), so a big scheduler round never pays per-segment
-        dispatch latency."""
+        larger batches dispatch fixed-size scanned chunks, so a big
+        scheduler round never pays per-segment dispatch latency."""
         return self.mi_tests_finish(self.mi_tests_begin(X, Y, Zs, kvec))
 
     def _mi_tests_scan(self, X, Y, Zs, kvec, seg):
@@ -626,10 +705,11 @@ class CondTestEngine:
         ndev = 1 if self.mesh is None else self.mesh.devices.size
         nseg = _nseg_bucket(-(-B // seg))
         Bp = nseg * seg
-        Xp = np.zeros(Bp, np.int32); Xp[:B] = X
-        Yp = np.zeros(Bp, np.int32); Yp[:B] = Y
-        Zp = np.zeros((Bp, self.max_k), np.int32); Zp[:B] = Zs
-        kp = np.zeros(Bp, np.int32); kp[:B] = kvec
+        ddt = self._desc_dtype()
+        Xp = np.zeros(Bp, ddt); Xp[:B] = X
+        Yp = np.zeros(Bp, ddt); Yp[:B] = Y
+        Zp = np.zeros((Bp, self.max_k), ddt); Zp[:B] = Zs
+        kp = np.zeros(Bp, np.int8); kp[:B] = kvec
         fn = _mi_cond_scan_fn(self.mesh, nseg, seg // ndev, self.max_k,
                               self.L, self.S_hist, self.nz, self.nzu,
                               self.pack2)

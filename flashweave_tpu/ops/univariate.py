@@ -178,6 +178,47 @@ def mi_planes_stats(planes, levels_x, levels_y, maxv_x, maxv_y, hps,
 # device-side FDR extraction) on the CPU mesh
 FORCE_PALLAS = False
 
+# test hook: exercise the float16 continuous-table upload path off-TPU
+FORCE_F16_UPLOAD = False
+
+# continuous tables at least this many elements ship as float16 (the
+# host->device transfer dominates at scale: 537 MB f32 ~ 16 s over the
+# tunnel at p=65536, n=2048)
+F16_UPLOAD_MIN_ELEMS = 1 << 24
+
+
+@jax.jit
+def _widen_f32(x):
+    return x.astype(jnp.float32)
+
+
+def put_continuous(data, mesh=None):
+    """Device placement for continuous (fz / fz_nz) tables.
+
+    Large single-chip tables ship as float16 and widen to float32 ON DEVICE
+    -- half the transfer bytes; statistics then differ from the f32-upload
+    path only by the f16 rounding of the input values (~5e-4 relative),
+    well inside the reference's network tolerance model (reference:
+    test/learning.jl:46-103).  Falls back to full precision when values
+    exceed the f16 range, under x64 (parity runs), or on a mesh."""
+    use_f16 = ((jax.default_backend() == "tpu" or FORCE_F16_UPLOAD)
+               and mesh is None
+               and (FORCE_F16_UPLOAD
+                    or (not jax.config.jax_enable_x64
+                        and data.size >= F16_UPLOAD_MIN_ELEMS)))
+    if use_f16:
+        with np.errstate(invalid="ignore"):
+            amax = float(np.max(np.abs(data))) if data.size else 0.0
+        if amax < 60000.0:              # no f16 overflow (NaN max falls back)
+            return _widen_f32(jnp.asarray(np.asarray(data, np.float16)))
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    x = jnp.asarray(data, dtype)
+    if mesh is not None:
+        from ..parallel.mesh import put_replicated
+
+        x = put_replicated(x, mesh)
+    return x
+
 
 def _choose_tile(p: int, requested: Optional[int]) -> int:
     if requested is not None:
@@ -983,7 +1024,10 @@ def pw_univar_neighbors(
                           and not return_result and not have_cor)
         if device_extract:
             # blocked correlation sweep: never materializes the p x p matrix
-            xc, ssd = _fz_center(_put(data))
+            if data_dev is not None and mesh is None:
+                xc, ssd = _fz_center(data_dev)
+            else:
+                xc, ssd = _fz_center(put_continuous(data, mesh))
             slab = _y_slabs(p_int, tile_sz, triangle=True)
             return _extract_scan(
                 "fz", (xc, ssd), mesh, False, p_int, tile_sz, slab, p,
@@ -1005,7 +1049,10 @@ def pw_univar_neighbors(
         stats = np.where(suff, stats, 0.0)
         pvals = np.where(suff, pvals, 1.0)
     elif test_name == "fz_nz":
-        data_j = _put(data)
+        if data_dev is not None and mesh is None:
+            data_j = data_dev
+        else:
+            data_j = put_continuous(data, mesh)
         stats = np.empty(n_pairs)
         n_obs = np.empty(n_pairs, dtype=np.int64)
         use_pallas = (jax.default_backend() == "tpu" or FORCE_PALLAS)
