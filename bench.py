@@ -105,7 +105,7 @@ def univar_bench(n=8192, p=8192, L=3):
             if on_tpu:
                 stat, df, n_obs, suff = pk.mi_univar_stats_pallas(
                     dT, d, marg, levels, maxv, s, tile, L, y_start, y_len,
-                    True, 5.0, 20.0,
+                    2, 5.0, 20.0,
                 )
                 pval = sf.mi_pval_smalldf(stat, df, n_obs, (L - 1) ** 2, xp=jnp)
             else:

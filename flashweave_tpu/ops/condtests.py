@@ -336,16 +336,17 @@ def _sharded_masked_cor_fn(mesh, Bloc, m):
 
 @partial(jax.jit, static_argnames=("B", "max_k"))
 def _fz_cond_kernel(C, X, Y, Zs, kvec, B, max_k):
-    """Batched partial correlations from the device-resident p x p
-    correlation matrix: gather (max_k+2)^2 submatrices, run the pcor
-    recursion DP (reference: src/statfuns.jl:23-75) on device.  Replaces
-    the host float64 p x p matrix requirement (80 GB at p=100k) with an
-    O(p^2) f32 device array + O(B m^2) per batch."""
+    """Gather the (max_k+2)^2 correlation submatrices of B conditional fz
+    tests from the device-resident p x p matrix.  The pcor recursion DP
+    itself runs on HOST in float64 (fz_tests_finish): the recursion's
+    compounding 1e-5 roundings drift in f32 and flipped a near-threshold
+    golden edge at prec=32, while the per-batch (B, m, m) fetch is tiny.
+    The device-resident matrix still replaces the host float64 p x p
+    requirement (80 GB at p=100k)."""
     karr = jnp.arange(max_k, dtype=kvec.dtype)
     pad = jnp.where(karr[None, :] < kvec[:, None], Zs, X[:, None])
     idx = jnp.concatenate([X[:, None], Y[:, None], pad], axis=1)   # (B, m)
-    sub = C[idx[:, :, None], idx[:, None, :]]
-    return sf.pcor_dp(sub, kvec, max_k, xp=jnp)
+    return C[idx[:, :, None], idx[:, None, :]]
 
 
 @lru_cache(maxsize=8)
@@ -802,8 +803,8 @@ class CondTestEngine:
     def fz_tests_begin(self, X: np.ndarray, Y: np.ndarray, Zs: np.ndarray,
                        kvec: np.ndarray):
         """Launch B fz conditional tests against the device-resident
-        correlation matrix (gather + pcor DP on device); returns a handle
-        for fz_tests_finish."""
+        correlation matrix (submatrix gather on device; the pcor DP runs in
+        host float64 at finish); returns a handle for fz_tests_finish."""
         global N_TESTS_DISPATCHED
         B = len(X)
         N_TESTS_DISPATCHED += B
@@ -823,17 +824,21 @@ class CondTestEngine:
             out = fn(self.cor_j, Xp, Yp, Zp, kp)
         else:
             out = _fz_cond_kernel(self.cor_j, Xp, Yp, Zp, kp, Bp, self.max_k)
-        return (_prefetch(out), B, Bp)
+        return (_prefetch(out), B, Bp, np.asarray(kvec, np.int64))
 
     def fz_tests_finish(self, handle):
         """(stat, pval, df, suff) in host float64 (reference semantics:
-        src/tests.jl:250-265 -- df 0, suff is the run-level n_obs check)."""
+        src/tests.jl:250-265 -- df 0, suff is the run-level n_obs check).
+        The pcor recursion runs here in float64 incl. the reference's 1e-5
+        rounding (src/statfuns.jl:39,51)."""
         if handle[0] is None:          # run-level n_obs_min failure
             B = handle[1]
             return (np.zeros(B), np.ones(B), np.zeros(B, np.int64),
                     np.zeros(B, bool))
-        out, B, Bp = handle
-        stat = np.asarray(out).astype(np.float64)[:B]
+        out, B, Bp, kvec = handle
+        sub = np.asarray(out).astype(np.float64)[:B]
+        kp = np.zeros(B, np.int64); kp[:] = kvec[:B]
+        stat = sf.pcor_dp(sub, kp, self.max_k, xp=np)
         pval = np.asarray(sf.fz_pval(stat, self.n, 0))
         return stat, pval, np.zeros(B, np.int64), np.ones(B, bool)
 

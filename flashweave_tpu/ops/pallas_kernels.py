@@ -263,27 +263,11 @@ def _mi_epilogue(joint, mx_ref, my_ref, lx_ref, ly_ref, mvx_ref, mvy_ref,
     ``joint(ia, ib)`` returns the int32 (tx, ty) count plane of level pair
     (ia, ib) for 1 <= ia, ib < L.
     """
-    # reconstruct the full L x L table from the (L-1)^2 joint counts
-    # and the fixed margins, exactly, in int32
-    mx = [mx_ref[l, :].reshape(-1, 1) for l in range(L)]  # (tx, 1)
-    my = [my_ref[l, :].reshape(1, -1) for l in range(L)]  # (1, ty)
-    cnt = {}
-    for ia in range(1, L):
-        for ib in range(1, L):
-            cnt[(ia, ib)] = joint(ia, ib)
-    for ia in range(1, L):
-        cnt[(ia, 0)] = mx[ia] - sum(
-            cnt[(ia, ib)] for ib in range(1, L)
-        )
-    for ib in range(1, L):
-        cnt[(0, ib)] = my[ib] - sum(
-            cnt[(ia, ib)] for ia in range(1, L)
-        )
-    cnt[(0, 0)] = (
-        n_rows - sum(mx[1:]) - sum(my[1:])
-        + sum(cnt[(ia, ib)] for ia in range(1, L)
-              for ib in range(1, L))
-    )
+    # nz semantics are a 3-state static flag: 0 plain, 1 per-variable nz
+    # offsets, 2 nz-UNIFORM (every variable 3-level, so ox = oy = 1 are
+    # compile-time constants): the level-0 planes are statically sliced
+    # away and all masks fold, cutting the epilogue's VPU passes ~3x.
+    uniform = (nz == 2)
     # Boolean logic is expressed as float 0/1 masks with arithmetic
     # and/or (Mosaic can't truncate i8 vectors to i1, so vector `&`
     # chains fail to compile); every comparison stays a single f32
@@ -291,57 +275,103 @@ def _mi_epilogue(joint, mx_ref, my_ref, lx_ref, ly_ref, mvx_ref, mvy_ref,
     f32 = jnp.float32
     lx = lx_ref[:].reshape(-1, 1).astype(f32)   # (tx, 1)
     ly = ly_ref[:].reshape(1, -1).astype(f32)   # (1, ty)
-    if nz:
-        ox = (mvx_ref[:].reshape(-1, 1) > 1).astype(f32)
-        oy = (mvy_ref[:].reshape(1, -1) > 1).astype(f32)
+    mx = [mx_ref[l, :].reshape(-1, 1) for l in range(L)]  # (tx, 1)
+    my = [my_ref[l, :].reshape(1, -1) for l in range(L)]  # (1, ty)
+    lo = 1 if uniform else 0
+    cnt = {}
+    for ia in range(1, L):
+        for ib in range(1, L):
+            cnt[(ia, ib)] = joint(ia, ib)
+    if not uniform:
+        # reconstruct the full L x L table from the (L-1)^2 joint counts
+        # and the fixed margins, exactly, in int32
+        for ia in range(1, L):
+            cnt[(ia, 0)] = mx[ia] - sum(
+                cnt[(ia, ib)] for ib in range(1, L)
+            )
+        for ib in range(1, L):
+            cnt[(0, ib)] = my[ib] - sum(
+                cnt[(ia, ib)] for ia in range(1, L)
+            )
+        cnt[(0, 0)] = (
+            n_rows - sum(mx[1:]) - sum(my[1:])
+            + sum(cnt[(ia, ib)] for ia in range(1, L)
+                  for ib in range(1, L))
+        )
+    if uniform:
+        def subplane(av, bv):
+            return cnt[(av, bv)].astype(f32)
+
+        def diagf(av, bv):
+            return 1.0 if av == bv else 0.0
     else:
-        ox = jnp.zeros_like(lx)
-        oy = jnp.zeros_like(ly)
+        if nz:
+            ox = (mvx_ref[:].reshape(-1, 1) > 1).astype(f32)
+            oy = (mvy_ref[:].reshape(1, -1) > 1).astype(f32)
+        else:
+            ox = jnp.zeros_like(lx)
+            oy = jnp.zeros_like(ly)
 
-    xmask = [(av >= ox).astype(f32) for av in range(L)]
-    ymask = [(bv >= oy).astype(f32) for bv in range(L)]
+        xmask = [(av >= ox).astype(f32) for av in range(L)]
+        ymask = [(bv >= oy).astype(f32) for bv in range(L)]
+        _spc = {}
 
-    def subplane(av, bv):
-        return cnt[(av, bv)].astype(f32) * xmask[av] * ymask[bv]
+        def subplane(av, bv):
+            if (av, bv) not in _spc:
+                _spc[(av, bv)] = (cnt[(av, bv)].astype(f32)
+                                  * xmask[av] * ymask[bv])
+            return _spc[(av, bv)]
 
-    row = [
-        sum(subplane(av, bv) for bv in range(L)) for av in range(L)
-    ]
-    col = [
-        sum(subplane(av, bv) for av in range(L)) for bv in range(L)
-    ]
-    n_obs = sum(row)
+        def diagf(av, bv):
+            return ((av - ox) == (bv - oy)).astype(f32)
+
+    row = {av: sum(subplane(av, bv) for bv in range(lo, L))
+           for av in range(lo, L)}
+    col = {bv: sum(subplane(av, bv) for av in range(lo, L))
+           for bv in range(lo, L)}
+    n_obs = sum(row.values())
     # MI terms with diag/offdiag split (sign semantics of
     # reference src/statfuns.jl:209-254)
     mi_pos = jnp.zeros_like(n_obs)
     mi_neg = jnp.zeros_like(n_obs)
     n_pos = jnp.zeros_like(n_obs)
-    for av in range(L):
-        for bv in range(L):
+    for av in range(lo, L):
+        for bv in range(lo, L):
             s_ab = subplane(av, bv)
             # s_ab > 0 implies row/col marginals > 0
             validf = (s_ab > 0).astype(f32)
             inv = 1.0 - validf
             ratio = (n_obs * s_ab + inv) / (row[av] * col[bv] + inv)
             term = jnp.log(ratio) * s_ab
-            diagf = ((av - ox) == (bv - oy)).astype(f32)
-            mi_pos += diagf * term
-            mi_neg += (1.0 - diagf) * term
-            n_pos += diagf * s_ab
+            d = diagf(av, bv)
+            if isinstance(d, float):
+                if d:
+                    mi_pos += term
+                    n_pos += s_ab
+                else:
+                    mi_neg += term
+            else:
+                mi_pos += d * term
+                mi_neg += (1.0 - d) * term
+                n_pos += d * s_ab
     n_neg = n_obs - n_pos
     safe_n = jnp.maximum(n_obs, 1.0)
     mi = (mi_pos + mi_neg) / safe_n
     flipf = (mi_neg * n_neg > mi_pos * n_pos).astype(f32)
     mi = mi * (1.0 - 2.0 * flipf)
     # adjusted df (reference src/statfuns.jl:281-305)
-    alx = sum((r != 0).astype(f32) for r in row)
-    aly = sum((c != 0).astype(f32) for c in col)
+    alx = sum((r != 0).astype(f32) for r in row.values())
+    aly = sum((c != 0).astype(f32) for c in col.values())
     df = (jnp.maximum(alx, 1.0) - 1.0) * (jnp.maximum(aly, 1.0) - 1.0)
-    # pre-check on the X-trimmed view (reference src/tests.jl:9-20)
-    n_view = sum(
-        cnt[(av, bv)].astype(f32) * xmask[av]
-        for av in range(L) for bv in range(L)
-    )
+    # pre-check on the X-trimmed view (reference src/tests.jl:9-20):
+    # the X-trimmed view total follows from the fixed margins alone
+    if uniform:
+        n_view = sum(mx[av].astype(f32) for av in range(1, L))
+    else:
+        n_view = sum(
+            cnt[(av, bv)].astype(f32) * xmask[av]
+            for av in range(L) for bv in range(L)
+        )
     plx = lx - 1.0 - (lx > 1.0).astype(f32)
     ply = ly - 1.0 - (ly > 1.0).astype(f32)
     cells_pre = plx * ply
@@ -351,18 +381,23 @@ def _mi_epilogue(joint, mx_ref, my_ref, lx_ref, ly_ref, mvx_ref, mvy_ref,
         (cells_pre <= 0).astype(f32),
     )
     pre_ok = (n_view >= n_obs_min).astype(f32) * pre_ratio_ok
-    if nz:
-        lx_eff = L - ox
-        ly_eff = L - oy
+    if uniform:
+        cells_post = float((L - 1) * (L - 1))
+        post_ok = ((n_obs >= n_obs_min).astype(f32)
+                   * (n_obs > hps * cells_post).astype(f32))
     else:
-        lx_eff = lx * jnp.ones_like(oy)
-        ly_eff = ly * jnp.ones_like(ox)
-    cells_post = lx_eff * ly_eff
-    post_ratio_ok = jnp.maximum(
-        (n_obs > hps * cells_post).astype(f32),
-        (cells_post <= 0).astype(f32),
-    )
-    post_ok = (n_obs >= n_obs_min).astype(f32) * post_ratio_ok
+        if nz:
+            lx_eff = L - ox
+            ly_eff = L - oy
+        else:
+            lx_eff = lx * jnp.ones_like(oy)
+            ly_eff = ly * jnp.ones_like(ox)
+        cells_post = lx_eff * ly_eff
+        post_ratio_ok = jnp.maximum(
+            (n_obs > hps * cells_post).astype(f32),
+            (cells_post <= 0).astype(f32),
+        )
+        post_ok = (n_obs >= n_obs_min).astype(f32) * post_ratio_ok
     sufff = pre_ok * post_ok * (lx >= 2.0).astype(f32)
     stat_ref[:] = mi * sufff
     df_ref[:] = (df * sufff).astype(jnp.int32)
@@ -392,7 +427,7 @@ def level_marginals(data, L):
                           "tx", "ty", "tn"))
 def mi_univar_stats_pallas(dataT, data, marg, levels, max_vals, start, tile,
                            L, y_start=0, y_len=None, nz=True, hps=5.0,
-                           n_obs_min=0.0, tx=256, ty=128, tn=None):
+                           n_obs_min=0.0, tx=None, ty=128, tn=None):
     """Fully fused univariate MI stats of an X-block against a Y-slab:
     returns (stat f32, df i32, n_obs i32, suff_power bool), each
     (tile, y_len), without materializing contingency tables in HBM.
@@ -407,6 +442,11 @@ def mi_univar_stats_pallas(dataT, data, marg, levels, max_vals, start, tile,
         y_len = p
     if tn is None:
         tn = _default_tn(n)
+    if tx is None:
+        # deep X-tiles amortize the in-VMEM epilogue over more MXU work
+        # (512x128 measured 2.07e9 vs 256x128's 1.90e9 on v5e; wider tiles
+        # fail to compile on this toolchain)
+        tx = max(128, min(512, -(-tile // 128) * 128))
     at = jax.lax.dynamic_slice(dataT, (start, 0), (tile, n)).astype(jnp.int8)
     b = jax.lax.dynamic_slice(data, (0, y_start), (n, y_len)).astype(jnp.int8)
     # pad the sample axis of both operands to the same tn multiple

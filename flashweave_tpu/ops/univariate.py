@@ -45,11 +45,15 @@ from ..utils.misc import is_zero_adjusted, isdiscrete
 @jax.jit
 def cor_matrix(data):
     """Full correlation matrix as one Gram matmul (reference equivalent:
-    Statistics.cor used at src/learning.jl:44)."""
+    Statistics.cor used at src/learning.jl:44).
+
+    HIGHEST matmul precision: TPU f32 matmuls default to bf16 passes with
+    ~1e-3 relative error -- enough to flip near-threshold fz decisions
+    (measured: r drifted 4.5e-4 and dropped a golden edge at prec=32)."""
     n = data.shape[0]
     mu = data.mean(axis=0, keepdims=True)
     xc = data - mu
-    cov = xc.T @ xc
+    cov = jnp.matmul(xc.T, xc, precision=lax.Precision.HIGHEST)
     d = jnp.sqrt(jnp.diag(cov))
     denom = d[:, None] * d[None, :]
     r = jnp.where(denom > 0, cov / jnp.where(denom > 0, denom, 1.0), jnp.nan)
@@ -385,7 +389,8 @@ def _block_scores(kind, use_pallas, data_args, s, start, y0, tile_sz, ylen,
         n = xc.shape[0]
         xslab = lax.dynamic_slice(xc, (0, s), (n, tile_sz))
         yslab = lax.dynamic_slice(xc, (0, y0), (n, ylen))
-        cov = xslab.T @ yslab
+        # decision-grade precision (see cor_matrix)
+        cov = jnp.matmul(xslab.T, yslab, precision=lax.Precision.HIGHEST)
         dx = lax.dynamic_slice(ssd, (s,), (tile_sz,))
         dy = lax.dynamic_slice(ssd, (y0,), (ylen,))
         denom = dx[:, None] * dy[None, :]
@@ -495,7 +500,7 @@ def _mesh_fz_fn(mesh, ploc):
         xc = data - mu
         ss = (xc * xc).sum(axis=0)
         yslab = lax.dynamic_slice(xc, (0, y0), (n, ploc))
-        cov = xc.T @ yslab
+        cov = jnp.matmul(xc.T, yslab, precision=lax.Precision.HIGHEST)
         d_all = jnp.sqrt(ss)
         d_y = lax.dynamic_slice(d_all, (y0,), (ploc,))
         denom = d_all[:, None] * d_y[None, :]
@@ -836,8 +841,46 @@ def _extract_scan(kind, data_args, mesh, use_pallas, p_int, tile_sz, slab, p,
     ft = np.float64 if buf.dtype == np.int64 else np.float32
     pvals_sig = np.exp(buf[2].view(ft).astype(np.float64))
     stats_sig = buf[3].view(ft).astype(np.float64)
+    Xs_sig = buf[0]
+    Ys_sig = buf[1]
+    if kind == "fz" and ft == np.float32 and n_sig > 0:
+        # refine in float64 on host: the f32 device log-p ordering can swap
+        # near-tied candidates, and candidate ORDER feeds the HITON search
+        # (a swapped order changes which conditioning subset is recorded as
+        # the weakest -- observed as a 6% golden weight drift at prec=32).
+        # The extracted stats are HIGHEST-precision matmul outputs
+        # (~1e-7), so f64 p-values from them restore the f64 order;
+        # BH-adjustment over the extracted prefix is exact because the
+        # extraction threshold guarantees these are the top-ranked pairs.
+        n_rows = data_args[0].shape[0]
+        praw = np.asarray(sf.fz_pval(stats_sig, n_rows, 0), np.float64)
+        order = np.argsort(praw, kind="stable")
+        praw_s = praw[order]
+        if FDR:
+            ranks = np.arange(1, n_sig + 1, dtype=np.float64)
+            terms = praw_s * (float(m) / ranks)
+            adj = np.minimum.accumulate(terms[::-1])[::-1]
+            np.minimum(adj, 1.0, out=adj)
+        else:
+            adj = praw_s
+        keep = adj < alpha
+        stats_sig = stats_sig[order][keep]
+        pvals_sig = adj[keep]
+        Xs_sig = Xs_sig[order][keep]
+        Ys_sig = Ys_sig[order][keep]
+        # BH plateaus produce EXACT adjusted-p ties; the host path's
+        # candidate order breaks those ties by condensed pair index (its
+        # dicts insert in condensed order, then stable-sort by adjusted p),
+        # so the dict insertion order here must too
+        cpos = condensed_pos(np.minimum(Xs_sig, Ys_sig),
+                             np.maximum(Xs_sig, Ys_sig), p)
+        tie_order = np.lexsort((cpos, pvals_sig))
+        stats_sig = stats_sig[tie_order]
+        pvals_sig = pvals_sig[tie_order]
+        Xs_sig = Xs_sig[tie_order]
+        Ys_sig = Ys_sig[tie_order]
     nbr = {i: PSortedNbrs() for i in range(p)}
-    for x, y, st, pv in zip(buf[0], buf[1], stats_sig, pvals_sig):
+    for x, y, st, pv in zip(Xs_sig, Ys_sig, stats_sig, pvals_sig):
         entry = (float(st), float(pv))
         nbr[int(x)][int(y)] = entry
         nbr[int(y)][int(x)] = entry
@@ -935,6 +978,11 @@ def pw_univar_neighbors(
             levels = get_levels(data)
             max_vals = get_max_vals(data)
         L = int(np.max(max_vals)) + 1
+        if nz and L == 3 and (np.asarray(max_vals) > 1).all():
+            # 3-state nz flag: 2 = nz-UNIFORM (every variable 3-level), which
+            # lets the Pallas epilogue fold all slicing masks statically;
+            # truthiness is unchanged for the XLA paths
+            nz = 2
         stats = np.empty(n_pairs)
         df_c = np.empty(n_pairs, dtype=np.int64)
         nobs_c = np.empty(n_pairs, dtype=np.int64)
