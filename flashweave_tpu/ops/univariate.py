@@ -868,10 +868,13 @@ def _extract_scan(kind, data_args, mesh, use_pallas, p_int, tile_sz, slab, p,
         pvals_sig = adj[keep]
         Xs_sig = Xs_sig[order][keep]
         Ys_sig = Ys_sig[order][keep]
+    if n_sig > 0:
         # BH plateaus produce EXACT adjusted-p ties; the host path's
         # candidate order breaks those ties by condensed pair index (its
         # dicts insert in condensed order, then stable-sort by adjusted p),
-        # so the dict insertion order here must too
+        # so the dict insertion order here must too -- a swapped tie
+        # changes HITON's candidate order and thereby which conditioning
+        # subset gets recorded as an edge weight
         cpos = condensed_pos(np.minimum(Xs_sig, Ys_sig),
                              np.maximum(Xs_sig, Ys_sig), p)
         tie_order = np.lexsort((cpos, pvals_sig))
