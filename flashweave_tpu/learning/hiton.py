@@ -523,6 +523,7 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
         Zarr_parts, kvec_parts = [], []
         shared = False
         erot = False
+        ichain = False
         if (spec_able and (discrete or not nz) and phase == "I"
                 and not mode_accept and accepted
                 and _subset_total(len(accepted), max_k) <= SUBSET_CHUNK):
@@ -578,6 +579,24 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
             Zarr_e = rot[:, pos].reshape(-1, max_k)
             kvec_e = np.tile(kvec_t, W)
             counts_e = np.full(W, len(kvec_t), np.int64)
+        elif (spec_able and fast and phase == "I" and mode_accept
+              and not blacklist and accepted
+              and _subset_total(len(accepted) + min(window, SPEC_WINDOW_MAX,
+                                                    n_c - ci) - 1, max_k)
+                  <= SUBSET_CHUNK):
+            # vectorized I-phase accept-chain: candidate k's conditioning
+            # list under the all-accept assumption is accepted + priors, so
+            # one cached index template over [accepted + cands_w] builds the
+            # whole window.  Whitelist hits act exactly like accepts (same
+            # append), so only a test REJECTION ends the window.
+            ichain = True
+            a0 = len(accepted)
+            W = min(window, SPEC_WINDOW_MAX, n_c - ci)
+            cands_w = candidates[ci : ci + W]
+            items = None
+            IDX, kvec_e, counts_e = _ichain_template(a0, W, max_k)
+            vm = np.asarray(accepted + cands_w, np.int32)
+            Zarr_e = vm[IDX]
         else:
             # accept-chain / E-phase builds pay per-candidate host work and
             # mispredict at the first outcome flip -- cap them at the
@@ -622,7 +641,7 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
                                           + (len(cands_w) if cands_w else 1))
         got = None
         if cands_w:
-            if erot:
+            if erot or ichain:
                 req = ("miwin", T, cands_w, Zarr_e, kvec_e, counts_e, False)
             elif discrete or fz_dev:
                 kind = "miwin" if discrete else "fzwin"
@@ -646,6 +665,41 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
         #    accepted with the weakest result) -- rejected candidates cost
         #    no per-candidate host work at all.  Validity per candidate:
         #    its build-time conditioning list must equal the live one ------
+        if ichain:
+            # accept-chain consume: accepts (test or whitelist) extend the
+            # set exactly as speculated; the first test REJECTION ends the
+            # window (the set stops growing, so the remaining speculative
+            # conditioning lists are stale)
+            exit_e, wstat, wpval = got
+            W = len(cands_w)
+            wl_live = (whitelist.live_set()
+                       if hasattr(whitelist, "live_set") else whitelist) or ()
+            consumed = 0
+            wasted = False
+            for j, cand in enumerate(cands_w):
+                if cand in wl_live:
+                    accepted.append(cand)
+                    accepted_dict[cand] = (NAN, NAN)
+                elif int(exit_e[j]) < 0:
+                    accepted.append(cand)
+                    accepted_dict[cand] = (float(wstat[j]), float(wpval[j]))
+                else:
+                    last_accept = False
+                    consumed = j + 1
+                    wasted = j + 1 < W
+                    break
+            else:
+                last_accept = True
+                consumed = W
+            ci += consumed
+            if check_clock and clock.expired() and ci < n_c:
+                if control.converged:
+                    return accepted_dict, candidates[ci:]
+                clock.reset()
+            spec = (max(2, spec // 2) if wasted
+                    else min(SPEC_SHARED_MAX, spec * 4))
+            continue
+
         if erot:
             # rotational-E consume: accepts keep the rotation deterministic,
             # so the only mispredict points are a fast_elim elimination or a
@@ -929,6 +983,28 @@ TURBO_TEST_BUDGET = 700
 # into the target's candidate array, so one cached template + one fancy
 # index builds the whole request
 _turbo_cache: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+# accept-chain window layouts keyed by (a0, W, max_k): candidate k's
+# conditioning list under the all-accept assumption is
+# [accepted..., cands_w[:k]...], so the subset position templates for sizes
+# a0..a0+W-1 index the concatenated [accepted + cands_w] array directly
+_ichain_cache: Dict[Tuple[int, int, int],
+                    Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+
+def _ichain_template(a0: int, W: int, max_k: int):
+    tpl = _ichain_cache.get((a0, W, max_k))
+    if tpl is None:
+        idx_parts, kv_parts, counts = [], [], []
+        for k in range(W):
+            pos, kv = _combo_template(a0 + k, max_k)
+            idx_parts.append(pos)
+            kv_parts.append(kv)
+            counts.append(len(kv))
+        tpl = (np.concatenate(idx_parts), np.concatenate(kv_parts),
+               np.asarray(counts, np.int64))
+        _ichain_cache[(a0, W, max_k)] = tpl
+    return tpl
 
 
 def _turbo_template(m: int, max_k: int):
