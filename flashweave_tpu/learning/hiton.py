@@ -635,6 +635,7 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
 
         if WINDOW_STATS is not None:
             k = ("shared" if shared else "erot" if erot
+                 else "ichain" if ichain
                  else "legacy" if (items and items[0][3]) else "chain")
             WINDOW_STATS[k] = WINDOW_STATS.get(k, 0) + 1
             WINDOW_STATS[k + "_cands"] = (WINDOW_STATS.get(k + "_cands", 0)
@@ -1066,6 +1067,11 @@ def _turbo_target(T, candidates, cfg, engine, support_dict, whitelist,
     got = yield ("miwin", T, candidates[1:] + candidates,
                  cands_np[IDX], KV, COUNTS, False)
     exit_e, wstat, wpval = got
+    # re-read the LIVE whitelist after the yield: feed-forward edges added
+    # while this window was in flight must be visible at consume, matching
+    # every other consume path
+    wl_live = (whitelist.live_set() if hasattr(whitelist, "live_set")
+               else whitelist) or ()
     # interleaving scan: candidate 0 auto-accepts (reference hiton.jl:57-59)
     c0 = candidates[0]
     TPC = {c0: (NAN, NAN) if c0 in wl_live else support_dict[c0]}
@@ -1151,8 +1157,10 @@ def si_hiton_pc_gen(T: int, cfg: HitonConfig, engine,
             # target Python sorts dominated large runs)
             if isinstance(univar_nbrs, PSortedNbrs):
                 # extraction-built dicts: insertion order IS the stable
-                # ascending-p sort, and every entry is already significant
-                candidates = list(univar_nbrs)
+                # ascending-p sort; the alpha filter still applies (a
+                # precomputed all_univar_nbrs may come from a looser alpha)
+                candidates = [c for c, v in univar_nbrs.items()
+                              if v[1] < cfg.alpha]
             else:
                 nn = len(univar_nbrs)
                 cs = np.fromiter((c for c in univar_nbrs), np.int64, count=nn)

@@ -65,11 +65,11 @@ def _device_levels(data):
     di8 = data.astype(np.int8)
     if di8.min(initial=0) < 0 or not np.array_equal(di8, data):
         return None
-    data_dev = jnp.asarray(di8)          # async device upload starts here
     p = data.shape[1]
     max_vals = di8.max(axis=0, initial=0).astype(np.int32)
     if max_vals.max(initial=0) > 63:
         return None
+    data_dev = jnp.asarray(di8)          # async device upload starts here
     mask = np.zeros(p, np.uint64)
     tmp = np.empty((min(256, max(data.shape[0], 1)), p), np.uint64)
     for s in range(0, data.shape[0], 256):
@@ -81,7 +81,8 @@ def _device_levels(data):
 
 
 def prepare_lgl(data, test_name, time_limit, parallel, feed_forward, max_k,
-                n_obs_min, hps, dense_cor, verbose, data_dev_out=None):
+                n_obs_min, hps, dense_cor, verbose, data_dev_out=None,
+                mesh=None):
     """Parameter resolution heuristics (reference: src/learning.jl:1-81)."""
     if time_limit == -1.0:
         if parallel == "multi_il" and max_k > 0:
@@ -101,7 +102,9 @@ def prepare_lgl(data, test_name, time_limit, parallel, feed_forward, max_k,
         import jax
 
         dev = None
-        if jax.default_backend() == "tpu":
+        # single-chip only: the sharded paths place their own replicated
+        # copies, so the upload here would be pure waste under a mesh
+        if jax.default_backend() == "tpu" and mesh is None:
             dev = _device_levels(data)
         if dev is not None:
             data_j, levels, max_vals = dev
@@ -248,6 +251,7 @@ def _lgl_timed(
         levels, max_vals, cor_mat, time_limit, n_obs_min = prepare_lgl(
             data, test_name, time_limit, parallel, feed_forward, max_k,
             n_obs_min, hps, dense_cor, verbose, data_dev_out=_dev_out,
+            mesh=mesh,
         )
     data_dev = _dev_out[0] if _dev_out else None
     if data_dev is None and not isdiscrete(test_name) and mesh is None:

@@ -240,17 +240,22 @@ class RoundScheduler:
                            and jax.process_count() > 1)
         if self._multiproc and jax.process_index() != 0:
             self.verbose = False        # progress printing is rank 0's job
-        self._now_val = time.time()
+        # the broadcast ships RELATIVE time: only differences of clock
+        # values are ever consumed, and a raw epoch (~1.7e9) canonicalized
+        # to float32 under x64-off would quantize to 128-second steps
+        self._anchor = time.time()
+        self._now_val = 0.0 if self._multiproc else self._anchor
 
     def _tick(self) -> float:
         """Advance and return the scheduler clock.  Single-process: wall
         time.  Multi-process: rank 0's wall time via one tiny psum (the only
-        extra collective per round)."""
+        extra collective per round); all consumers compare differences, so
+        rank 0's relative clock serves every process."""
         if self._multiproc:
             from ..parallel.mesh import bcast_scalar_from_rank0
 
-            self._now_val = bcast_scalar_from_rank0(self.engine.mesh,
-                                                    time.time())
+            self._now_val = bcast_scalar_from_rank0(
+                self.engine.mesh, time.time() - self._anchor)
         else:
             self._now_val = time.time()
         return self._now_val

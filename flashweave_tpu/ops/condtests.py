@@ -205,15 +205,15 @@ def _sharded_mi_cond_fn(mesh, Bloc, max_k, L, S, nz, nzu, pack2):
 
 
 @lru_cache(maxsize=64)
-def _mi_cond_digest_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz, nzu, pack2,
+def _mi_cond_digest_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz, nzu,
                             NC, max_df):
     """Scan kernel + ON-DEVICE per-candidate digest.
 
     Segment reductions over the mega-batch produce the three scalars the
     fast consume needs per candidate -- first-non-significant index,
     weakest-significant stat, weakest p-value -- so only O(candidates)
-    bytes cross the tunnel instead of O(tests) packed results (which stay
-    device-resident for fallback fetch).  Significance classifies by the
+    bytes cross the tunnel instead of O(tests) packed results (no per-test
+    output exists at all on this path).  Significance classifies by the
     closed-form log p-value; the weakest tie-break (bit-equal log-p ->
     LAST index) matches the host digest's semantics at working precision.
     """
@@ -664,7 +664,7 @@ class CondTestEngine:
         fdt = (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
         fn = _mi_cond_digest_scan_fn(
             self.mesh, nseg, seg // ndev, self.max_k, self.L, self.S_hist,
-            self.nz, self.nzu, self.pack2, NCp,
+            self.nz, self.nzu, NCp,
             (self.L - 1) ** 2 * self.S_hist)
         digest = fn(
             self.data_j, self.levels_j, self.maxv_j,
@@ -676,7 +676,7 @@ class CondTestEngine:
 
     def mi_tests_finish_digest(self, handle):
         """(exit_e, weakest stat, weakest pval) per candidate -- ONE tiny
-        fetch per chunk; the full packed results stay device-resident."""
+        fetch per chunk (this path produces no per-test results)."""
         parts = [np.asarray(digest) for _, digest, _, _, _ in handle]
         if len(parts) == 1:
             d, nc = parts[0], handle[0][4]

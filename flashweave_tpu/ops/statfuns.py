@@ -345,8 +345,9 @@ def benjamini_hochberg(pvals, alpha=0.01, m=None):
     sp = p[sidx]
     nf = sp.size
     # reversed running minimum of sp[i] * m / (i+1), capped at 1 -- the
-    # vectorized form of the reference's descending min loop
-    terms = sp * (m / np.arange(1.0, nf + 1.0))
+    # vectorized form of the reference's descending min loop (same
+    # left-to-right operation order, so values are bit-identical)
+    terms = sp * float(m) / np.arange(1.0, nf + 1.0)
     adj = np.minimum.accumulate(terms[::-1])[::-1]
     np.minimum(adj, 1.0, out=adj)
     out[sidx] = adj

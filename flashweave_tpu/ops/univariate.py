@@ -212,8 +212,13 @@ def put_continuous(data, mesh=None):
                         and data.size >= F16_UPLOAD_MIN_ELEMS)))
     if use_f16:
         with np.errstate(invalid="ignore"):
-            amax = float(np.max(np.abs(data))) if data.size else 0.0
-        if amax < 60000.0:              # no f16 overflow (NaN max falls back)
+            ad = np.abs(data)
+            amax = float(np.max(ad)) if data.size else 0.0
+            # the fz_nz nonzero-row masks are DISCRETE decisions: a nonzero
+            # flushed to f16 zero (or denormal) would change n_obs, so tiny
+            # nonzero magnitudes force the full-precision path
+            amin_nz = float(np.min(np.where(ad > 0, ad, np.inf)))
+        if amax < 60000.0 and amin_nz > 6.2e-5:   # NaN max falls back
             return _widen_f32(jnp.asarray(np.asarray(data, np.float16)))
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     x = jnp.asarray(data, dtype)

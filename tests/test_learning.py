@@ -431,3 +431,33 @@ def test_path_list_entry_forwards_profile_dir(tmp_path, monkeypatch):
     net.learn_network([tsv], max_k=0, verbose=False, prec=64,
                       profile_dir=pdir)
     assert seen["profile_dir"] == pdir
+
+
+def test_precomputed_univar_nbrs_filtered_by_alpha():
+    """A precomputed all_univar_nbrs built at a looser alpha must still be
+    filtered to the run's alpha in candidate preparation (regression: the
+    p-sorted fast path skipped the filter)."""
+    from flashweave_tpu.learning.hiton import HitonConfig, si_hiton_pc_gen
+    from flashweave_tpu.types import PSortedNbrs
+
+    nbrs = PSortedNbrs()
+    nbrs[1] = (0.5, 0.001)
+    nbrs[2] = (0.4, 0.03)     # significant at 0.05, NOT at 0.01
+    cfg = HitonConfig(test_name="mi", max_k=1, alpha=0.01)
+
+    class _Eng:
+        levels = {0: 3}
+        recursive_pcor = True
+
+    gen = si_hiton_pc_gen(0, cfg, _Eng(), nbrs)
+    try:
+        req = gen.send(None)
+    except StopIteration as stop:
+        # single candidate 1 auto-accepts in I; E re-test of a single
+        # candidate has an empty conditioning set -> finishes without
+        # any device request
+        state = stop.value
+        assert set(state.state_results) == {1}
+        return
+    # if a request was made it must only involve candidate 1
+    assert 2 not in req[2] if isinstance(req[2], (list, tuple)) else True
