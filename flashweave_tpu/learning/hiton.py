@@ -1042,17 +1042,29 @@ def _turbo_target(T, candidates, cfg, engine, support_dict, whitelist,
 
     Univariate FDR pre-filters candidate lists so hard that most targets'
     conditional searches are pure confirmation runs; for those this replaces
-    ~4-6 sequential window round-trips with ONE dispatch.  Returns the final
-    HitonState when every speculated outcome held; returns None on ANY
-    mispredict (an I rejection, an E elimination, or an E whitelist hit
-    whose duplicate-append would reorder the rotation) -- the caller then
-    reruns the standard phase machinery from scratch, so decisions and
-    recorded statistics are identical to the sequential path by
-    construction and only already-dispatched device tests are wasted."""
+    ~4-6 sequential window round-trips with ONE dispatch.  Returns:
+      HitonState       -- every speculated outcome held (the common case)
+      ("tpc", TPC)     -- the I phase completed exactly but an E-stage
+                          outcome mispredicted (elimination, or a live
+                          whitelist hit whose duplicate-append would
+                          reorder the rotation); the caller keeps TPC and
+                          reruns only the standard E phase
+      None             -- an I rejection: rerun everything
+    Decisions and recorded statistics are identical to the sequential path
+    by construction; mispredicts only waste already-dispatched device
+    tests."""
     m = len(candidates)
     max_k = cfg.max_k
+    # whitelist SNAPSHOT at window build: this matches the reference's
+    # job-start skip_nbrs snapshot (reference src/interleaved.jl:124-131,
+    # whitelists attach when a job is (re)queued, not live) -- the standard
+    # windows' live checks are the divergence, documented in scheduler.py.
+    # Practically, turbo windows build in round 1 when the feed-forward
+    # graph is still empty; a live re-read at consume saw the filled graph
+    # and forced E-phase reruns for most targets (+2x dispatched tests).
     wl_live = (whitelist.live_set() if hasattr(whitelist, "live_set")
-               else whitelist) or ()
+               else whitelist)
+    wl_live = set(wl_live) if wl_live else ()
     if m == 1:
         c0 = candidates[0]
         entry = (NAN, NAN) if c0 in wl_live else support_dict[c0]
@@ -1067,11 +1079,6 @@ def _turbo_target(T, candidates, cfg, engine, support_dict, whitelist,
     got = yield ("miwin", T, candidates[1:] + candidates,
                  cands_np[IDX], KV, COUNTS, False)
     exit_e, wstat, wpval = got
-    # re-read the LIVE whitelist after the yield: feed-forward edges added
-    # while this window was in flight must be visible at consume, matching
-    # every other consume path
-    wl_live = (whitelist.live_set() if hasattr(whitelist, "live_set")
-               else whitelist) or ()
     # interleaving scan: candidate 0 auto-accepts (reference hiton.jl:57-59)
     c0 = candidates[0]
     TPC = {c0: (NAN, NAN) if c0 in wl_live else support_dict[c0]}
@@ -1084,19 +1091,20 @@ def _turbo_target(T, candidates, cfg, engine, support_dict, whitelist,
         else:
             control.turbo_fallbacks += 1
             return None                 # I rejection: speculation dead
-    # elimination scan over the rotation
+    # elimination scan over the rotation; an E mispredict keeps the exact,
+    # complete I results and reruns only the E phase (a live whitelist will
+    # commonly have entries by consume time under feed-forward -- a full
+    # rerun here doubled the 10k bench's dispatched tests)
     PC = {}
     off = m - 1
     for k in range(m):
         cand = candidates[k]
         if cand in wl_live:
-            control.turbo_fallbacks += 1
-            return None                 # duplicate-append would de-sync
+            return ("tpc", TPC)         # duplicate-append would de-sync
         if int(exit_e[off + k]) < 0:
             PC[cand] = (float(wstat[off + k]), float(wpval[off + k]))
         else:
-            control.turbo_fallbacks += 1
-            return None                 # elimination: fall back
+            return ("tpc", TPC)         # elimination: rerun E only
     # min-weight reconciliation (reference: src/hiton.jl:249-256)
     if cfg.no_red_tests or cfg.fast_elim:
         for nbr in PC:
@@ -1177,20 +1185,28 @@ def si_hiton_pc_gen(T: int, cfg: HitonConfig, engine,
         if not candidates and not candidates_unchecked and not prev_TPC:
             return _empty_state()
 
+        turbo_tpc = None
         if (prev_state.phase == "S" and cfg.discrete and not cfg.bnb
                 and not blacklist and candidates and fast_mode(cfg)
                 and control.turbo_worthwhile()):
             done = yield from _turbo_target(T, candidates, cfg, engine,
                                             univar_nbrs, whitelist, control)
-            if done is not None:
+            if isinstance(done, HitonState):
                 return done
+            if done is not None:        # ("tpc", TPC): rerun only phase E
+                turbo_tpc = done[1]
 
-        TPC_dict, candidates_unchecked = yield from phase_backend(
-            T, candidates, cfg, engine, "I", prev_TPC, candidates_unchecked,
-            univar_nbrs, whitelist, blacklist, rej_dict, control, clock,
-        )
-        if candidates_unchecked:
-            return HitonState("I", TPC_dict, {}, candidates_unchecked, rej_dict)
+        if turbo_tpc is not None:
+            TPC_dict = turbo_tpc
+        else:
+            TPC_dict, candidates_unchecked = yield from phase_backend(
+                T, candidates, cfg, engine, "I", prev_TPC,
+                candidates_unchecked, univar_nbrs, whitelist, blacklist,
+                rej_dict, control, clock,
+            )
+            if candidates_unchecked:
+                return HitonState("I", TPC_dict, {}, candidates_unchecked,
+                                  rej_dict)
 
     # prepare elimination (reference: src/hiton.jl:223-246)
     if prev_state.phase == "E":
