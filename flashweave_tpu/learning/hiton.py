@@ -23,6 +23,7 @@ import itertools
 import math
 import warnings
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
@@ -474,7 +475,15 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
     most windows consume fully: host generator round-trips and device
     dispatches shrink ~w-fold while every accept/reject decision, reported
     statistic, and num_tests count stays identical to the sequential loop
-    (reference: src/hiton.jl:126-147)."""
+    (reference: src/hiton.jl:126-147).
+
+    Whitelist semantics (UNIFIED, round 5): membership is SNAPSHOTTED when a
+    window is built and every consume of that window reads the snapshot --
+    the same semantic as the turbo full-target window and the reference's
+    job-start skip_nbrs snapshot (reference: src/interleaved.jl:124-131).  A
+    neighbor fed forward between a window's build and its consume is NOT
+    whitelisted for that window (it is for the next); the OR-rule graph
+    merge keeps the edge either way, exactly as in the reference."""
     if prev_accepted_dict:
         accepted_dict = prev_accepted_dict
         candidates = list(candidates_unchecked)
@@ -506,6 +515,11 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
     cache = None         # is unchanged ('I' only ever appends)
     while ci < n_c:
         window = min(spec, n_c - ci) if spec_able else 1
+        # whitelist SNAPSHOT at window build (the single unified semantic,
+        # see docstring); every consume path below reads wl_snap only
+        wl_snap = (whitelist.live_set()
+                   if hasattr(whitelist, "live_set") else whitelist)
+        wl_snap = set(wl_snap) if wl_snap else ()
         # -- build: CHAINED speculation.  Each window assumes the last
         #    observed outcome keeps repeating along the window:
         #      reject-chain ('I'): all candidates share the unchanged set
@@ -513,9 +527,8 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
         #      accept-chain ('I'): candidate k conditioned on set + priors
         #      accept-chain ('E'): the remove/re-append rotation
         #      reject-chain ('E'): the set shrinking by each prior (fast_elim)
-        #    Blacklist membership is static (checked here); whitelist
-        #    membership is LIVE (checked at consume; a whitelisted
-        #    candidate's speculative result is just dropped) ---------------
+        #    Blacklist membership is static (checked at build); whitelist
+        #    membership is the build-time snapshot ------------------------
         mode_accept = last_accept or (phase == "E" and not cfg.fast_elim)
         cands_w: List[int] = []        # candidates with device requests
         varlists_w: List[List[int]] = []
@@ -673,12 +686,10 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
             # conditioning lists are stale)
             exit_e, wstat, wpval = got
             W = len(cands_w)
-            wl_live = (whitelist.live_set()
-                       if hasattr(whitelist, "live_set") else whitelist) or ()
             consumed = 0
             wasted = False
             for j, cand in enumerate(cands_w):
-                if cand in wl_live:
+                if cand in wl_snap:
                     accepted.append(cand)
                     accepted_dict[cand] = (NAN, NAN)
                 elif int(exit_e[j]) < 0:
@@ -704,9 +715,9 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
         if erot:
             # rotational-E consume: accepts keep the rotation deterministic,
             # so the only mispredict points are a fast_elim elimination or a
-            # live-whitelist hit (which appends a duplicate, existing
-            # semantics).  Rejections with fast_elim=False re-append -- the
-            # same rotation as an accept -- so those windows consume fully.
+            # whitelist hit (which appends a duplicate, existing semantics).
+            # Rejections with fast_elim=False re-append -- the same rotation
+            # as an accept -- so those windows consume fully.
             exit_e, wstat, wpval = got
             W = len(cands_w)
             ex = np.asarray(exit_e[:W])
@@ -717,12 +728,10 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
                 if rej.size:
                     stop = int(rej[0])
                     stop_kind = "rej"
-            wl_live = (whitelist.live_set()
-                       if hasattr(whitelist, "live_set") else whitelist)
-            if wl_live:
+            if wl_snap:
                 for j, cand in enumerate(
                         cands_w[: stop + 1] if stop < W else cands_w):
-                    if cand in wl_live:
+                    if cand in wl_snap:
                         if j <= stop:
                             stop = j
                             stop_kind = "wl"
@@ -762,8 +771,8 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
         if fast and cands_w and items is None:
             # plain shared-I consume, VECTORIZED: within this window the
             # accepted list can only mutate through an accept (exit -1) or a
-            # live-whitelist hit, and the first mutation ends the window --
-            # so the whole decision is "find the first accepting position".
+            # whitelist hit, and the first mutation ends the window -- so
+            # the whole decision is "find the first accepting position".
             # Semantics identical to the former per-candidate scan; the
             # per-candidate time-limit check coarsens to once per window
             # (checkpoint boundaries shift by <= one window; wall-clock
@@ -773,11 +782,9 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
             acc = np.asarray(exit_e[:nw]) < 0
             p_exit = int(np.argmax(acc)) if acc.any() else nw
             p_wl = nw
-            wl_live = (whitelist.live_set()
-                       if hasattr(whitelist, "live_set") else whitelist)
-            if wl_live:
+            if wl_snap:
                 for j, cand in enumerate(cands_w[:p_exit + 1]):
-                    if cand in wl_live:
+                    if cand in wl_snap:
                         p_wl = j
                         break
             p_acc = min(p_exit, p_wl)
@@ -808,7 +815,7 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
             gi = 0
             wasted = False
             for (cand, Zs_build, has_req, _leg) in items:
-                if whitelist is not None and cand in whitelist:
+                if cand in wl_snap:
                     if has_req:
                         gi += 1
                     accepted.append(cand)
@@ -857,9 +864,9 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
                       f"{n_c}) conditioned on {accepted}, current set "
                       f"size: {len(accepted)}")
             in_list = False
-            if whitelist is not None and cand in whitelist:
+            if cand in wl_snap:
                 # whitelist feed-forward (reference: src/hiton.jl:20-38);
-                # LIVE membership may postdate the build -- drop the result
+                # the window's build-time snapshot decides membership
                 if has_req:
                     gi += 1
                 accepted.append(cand)
@@ -988,24 +995,20 @@ _turbo_cache: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray, np.ndarray]] =
 # accept-chain window layouts keyed by (a0, W, max_k): candidate k's
 # conditioning list under the all-accept assumption is
 # [accepted..., cands_w[:k]...], so the subset position templates for sizes
-# a0..a0+W-1 index the concatenated [accepted + cands_w] array directly
-_ichain_cache: Dict[Tuple[int, int, int],
-                    Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-
-
+# a0..a0+W-1 index the concatenated [accepted + cands_w] array directly.
+# lru-bounded: each template is up to SUBSET_CHUNK*max_k int32s and
+# long-lived processes running many networks would otherwise accumulate
+# them indefinitely (advisor finding, round 4).
+@lru_cache(maxsize=512)
 def _ichain_template(a0: int, W: int, max_k: int):
-    tpl = _ichain_cache.get((a0, W, max_k))
-    if tpl is None:
-        idx_parts, kv_parts, counts = [], [], []
-        for k in range(W):
-            pos, kv = _combo_template(a0 + k, max_k)
-            idx_parts.append(pos)
-            kv_parts.append(kv)
-            counts.append(len(kv))
-        tpl = (np.concatenate(idx_parts), np.concatenate(kv_parts),
-               np.asarray(counts, np.int64))
-        _ichain_cache[(a0, W, max_k)] = tpl
-    return tpl
+    idx_parts, kv_parts, counts = [], [], []
+    for k in range(W):
+        pos, kv = _combo_template(a0 + k, max_k)
+        idx_parts.append(pos)
+        kv_parts.append(kv)
+        counts.append(len(kv))
+    return (np.concatenate(idx_parts), np.concatenate(kv_parts),
+            np.asarray(counts, np.int64))
 
 
 def _turbo_template(m: int, max_k: int):
@@ -1055,13 +1058,14 @@ def _turbo_target(T, candidates, cfg, engine, support_dict, whitelist,
     tests."""
     m = len(candidates)
     max_k = cfg.max_k
-    # whitelist SNAPSHOT at window build: this matches the reference's
-    # job-start skip_nbrs snapshot (reference src/interleaved.jl:124-131,
-    # whitelists attach when a job is (re)queued, not live) -- the standard
-    # windows' live checks are the divergence, documented in scheduler.py.
-    # Practically, turbo windows build in round 1 when the feed-forward
-    # graph is still empty; a live re-read at consume saw the filled graph
-    # and forced E-phase reruns for most targets (+2x dispatched tests).
+    # whitelist SNAPSHOT at window build -- the same unified semantic as
+    # every standard window (see phase_backend docstring), matching the
+    # reference's job-start skip_nbrs snapshot (reference
+    # src/interleaved.jl:124-131; whitelists attach when a job is
+    # (re)queued, not live).  Practically, turbo windows build in round 1
+    # when the feed-forward graph is still empty; a live re-read at consume
+    # saw the filled graph and forced E-phase reruns for most targets
+    # (+2x dispatched tests).
     wl_live = (whitelist.live_set() if hasattr(whitelist, "live_set")
                else whitelist)
     wl_live = set(wl_live) if wl_live else ()
@@ -1076,6 +1080,8 @@ def _turbo_target(T, candidates, cfg, engine, support_dict, whitelist,
     cands_np = np.asarray(candidates, np.int32)
     IDX, KV, COUNTS = _turbo_template(m, max_k)
     control.turbo_attempts += 1
+    if WINDOW_STATS is not None:
+        WINDOW_STATS["turbo"] = WINDOW_STATS.get("turbo", 0) + 1
     got = yield ("miwin", T, candidates[1:] + candidates,
                  cands_np[IDX], KV, COUNTS, False)
     exit_e, wstat, wpval = got
@@ -1090,6 +1096,9 @@ def _turbo_target(T, candidates, cfg, engine, support_dict, whitelist,
             TPC[cand] = (float(wstat[k - 1]), float(wpval[k - 1]))
         else:
             control.turbo_fallbacks += 1
+            if WINDOW_STATS is not None:
+                WINDOW_STATS["turbo_irej"] = (
+                    WINDOW_STATS.get("turbo_irej", 0) + 1)
             return None                 # I rejection: speculation dead
     # elimination scan over the rotation; an E mispredict keeps the exact,
     # complete I results and reruns only the E phase (a live whitelist will
@@ -1100,10 +1109,16 @@ def _turbo_target(T, candidates, cfg, engine, support_dict, whitelist,
     for k in range(m):
         cand = candidates[k]
         if cand in wl_live:
+            if WINDOW_STATS is not None:
+                WINDOW_STATS["turbo_ewl"] = (
+                    WINDOW_STATS.get("turbo_ewl", 0) + 1)
             return ("tpc", TPC)         # duplicate-append would de-sync
         if int(exit_e[off + k]) < 0:
             PC[cand] = (float(wstat[off + k]), float(wpval[off + k]))
         else:
+            if WINDOW_STATS is not None:
+                WINDOW_STATS["turbo_eelim"] = (
+                    WINDOW_STATS.get("turbo_eelim", 0) + 1)
             return ("tpc", TPC)         # elimination: rerun E only
     # min-weight reconciliation (reference: src/hiton.jl:249-256)
     if cfg.no_red_tests or cfg.fast_elim:
@@ -1112,6 +1127,8 @@ def _turbo_target(T, candidates, cfg, engine, support_dict, whitelist,
             if tv is not None and (tv[1] > PC[nbr][1]
                                    or math.isnan(PC[nbr][1])):
                 PC[nbr] = tv
+    if WINDOW_STATS is not None:
+        WINDOW_STATS["turbo_full"] = WINDOW_STATS.get("turbo_full", 0) + 1
     return HitonState("F", PC, TPC, [], {})
 
 

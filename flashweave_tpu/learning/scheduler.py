@@ -9,9 +9,10 @@ dispatches them as a single fixed-shape device batch (ops/condtests.py).
 
 Preserved semantics:
 - feed-forward: finished targets' neighborhoods whitelist candidates of
-  still-running targets (reference: src/interleaved.jl:124-131).  The
-  whitelist here is LIVE (checked at candidate time) rather than snapshotted
-  at job (re)start -- strictly fresher information.
+  still-running targets (reference: src/interleaved.jl:124-131).  Whitelist
+  membership is SNAPSHOTTED at window build (hiton.phase_backend) -- the
+  single semantic shared by standard and turbo windows, matching the
+  reference's job-start skip_nbrs snapshot at window (vs job) granularity.
 - convergence early-stop on the edge-growth rate (reference:
   src/interleaved.jl:203-230).  As in the reference, convergence never
   interrupts a running search pass: it only freezes searches that checkpoint
