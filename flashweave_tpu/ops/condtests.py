@@ -42,6 +42,15 @@ BATCH_BUCKETS = (64, 256, 1024, 4096)
 # test hook: exercise the on-device digest path on the CPU mesh
 FORCE_DEV_DIGEST = False
 
+# fz conditioning: largest p for which the p x p f32 correlation matrix is
+# materialized on one chip (~10.8 GB at 52000 on a 16 GB v5e); above it the
+# engine computes each batch's (B, m, m) submatrices ON THE FLY from the
+# centered device data (identical arithmetic to cor_matrix per entry, one
+# HIGHEST-precision Gram per batch) -- removing the former hard error.
+# Test hook: FORCE_COR_ONFLY / FLASHWEAVE_FZ_ONFLY=1 force the on-fly path.
+FZ_COR_MATERIALIZE_MAX = 52000
+FORCE_COR_ONFLY = False
+
 # running count of conditional CI tests dispatched (bench/diagnostics)
 N_TESTS_DISPATCHED = 0
 
@@ -361,6 +370,62 @@ def _sharded_fz_cond_fn(mesh, Bloc, max_k):
     ))
 
 
+@partial(jax.jit, static_argnames=("B", "max_k"))
+def _fz_cond_onfly_kernel(xc, ssd, X, Y, Zs, kvec, B, max_k):
+    """Correlation submatrices of B conditional fz tests computed ON THE FLY
+    from the centered device data -- the path past the p x p HBM wall
+    (reference equivalent: the host-memory all-pairs matrix,
+    src/statfuns.jl:125-136, re-sited as per-batch Gram matmuls).
+
+    xc: (n, p) column-centered data; ssd: (p,) per-column sqrt sum of
+    squares (ops/univariate._fz_center).  Per entry the arithmetic matches
+    cor_matrix exactly (HIGHEST-precision matmul, NaN on zero variance,
+    clampcor), so decisions agree with the materialized-matrix path up to
+    matmul reduction order (~1e-7 relative in f32).
+    Returns (B, m, m) with m = max_k + 2; padded Z columns repeat X."""
+    n = xc.shape[0]
+    m = max_k + 2
+    karr = jnp.arange(max_k, dtype=kvec.dtype)
+    pad = jnp.where(karr[None, :] < kvec[:, None], Zs, X[:, None])
+    idx = jnp.concatenate([X[:, None], Y[:, None], pad], axis=1)   # (B, m)
+    chunk = max(64, min(n, MCOR_ROW_BUDGET // max(B * m, 1)))
+
+    def gram(rows):
+        V = jnp.take(rows, idx.reshape(-1), axis=1).reshape(
+            rows.shape[0], B, m)
+        return jnp.einsum("nbi,nbj->bij", V, V,
+                          precision=lax.Precision.HIGHEST)
+
+    if n <= chunk:
+        G = gram(xc)
+    else:
+        n_pad = ((n + chunk - 1) // chunk) * chunk
+        xp_ = jnp.pad(xc, ((0, n_pad - n), (0, 0)))   # zero rows: no-ops
+        chunks = xp_.reshape(n_pad // chunk, chunk, xc.shape[1])
+
+        def body(acc, rows):
+            return acc + gram(rows), None
+
+        G, _ = jax.lax.scan(body, jnp.zeros((B, m, m), xc.dtype), chunks)
+    d = jnp.take(ssd, idx)                                         # (B, m)
+    denom = d[:, :, None] * d[:, None, :]
+    C = jnp.where(denom > 0, G / jnp.where(denom > 0, denom, 1.0), jnp.nan)
+    return jnp.clip(C, -1.0, 1.0)
+
+
+@lru_cache(maxsize=8)
+def _sharded_fz_cond_onfly_fn(mesh, Bloc, max_k):
+    def body(xc, ssd, X, Y, Zs, kvec):
+        out = _fz_cond_onfly_kernel(xc, ssd, X, Y, Zs, kvec, Bloc, max_k)
+        return lax.all_gather(out, "d", tiled=True)
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P("d"), P("d"), P("d"), P("d")),
+        out_specs=P(), check_vma=False,
+    ))
+
+
 def _bucket_pow2(b: int) -> int:
     """Power-of-two padding above the largest fixed bucket (bounds the jit
     cache for arbitrarily large mega-round batches)."""
@@ -525,21 +590,27 @@ class CondTestEngine:
             )
         self.cor_mat = cor_mat  # host float64 (fz mode, explicit matrix)
         # fz without an explicit host matrix: DEVICE-resident correlation
-        # matrix (f32 on TPU) + the on-device pcor DP -- drops the host
-        # float64 p x p requirement (80 GB at p=100k)
+        # matrix (f32 on TPU) + the host pcor DP -- drops the host float64
+        # p x p requirement (80 GB at p=100k).  Beyond the single-chip HBM
+        # budget for the p x p matrix itself, submatrices are computed ON
+        # THE FLY from centered data (_fz_cond_onfly_kernel) instead.
         self.cor_device = False
+        self.cor_onfly = False
         if (not self.discrete and not self.nz and recursive_pcor
                 and max_k > 0 and cor_mat is None):
-            if self.p > 52000:
-                raise MemoryError(
-                    f"device-resident correlation needs p^2 f32 "
-                    f"({self.p}^2 exceeds one chip's HBM); use "
-                    "recursive_pcor=False (per-test regression) or shard "
-                    "over more chips"
-                )
-            from .univariate import cor_matrix
+            import os as _os
 
-            self.cor_j = cor_matrix(self.data_j)
+            self.cor_onfly = (
+                self.p > FZ_COR_MATERIALIZE_MAX or FORCE_COR_ONFLY
+                or _os.environ.get("FLASHWEAVE_FZ_ONFLY") == "1")
+            if self.cor_onfly:
+                from .univariate import _fz_center
+
+                self.xc_j, self.ssd_j = _fz_center(self.data_j)
+            else:
+                from .univariate import cor_matrix
+
+                self.cor_j = cor_matrix(self.data_j)
             self.cor_device = True
 
     # -- discrete -----------------------------------------------------------
@@ -817,7 +888,15 @@ class CondTestEngine:
         Yp = np.zeros(Bp, np.int32); Yp[:B] = Y
         Zp = np.zeros((Bp, self.max_k), np.int32); Zp[:B] = Zs
         kp = np.zeros(Bp, np.int32); kp[:B] = kvec
-        if self.mesh is not None:
+        if self.cor_onfly:
+            if self.mesh is not None:
+                fn = _sharded_fz_cond_onfly_fn(
+                    self.mesh, Bp // self.mesh.devices.size, self.max_k)
+                out = fn(self.xc_j, self.ssd_j, Xp, Yp, Zp, kp)
+            else:
+                out = _fz_cond_onfly_kernel(self.xc_j, self.ssd_j, Xp, Yp,
+                                            Zp, kp, Bp, self.max_k)
+        elif self.mesh is not None:
             fn = _sharded_fz_cond_fn(self.mesh,
                                      Bp // self.mesh.devices.size,
                                      self.max_k)

@@ -89,8 +89,12 @@ def main():
     nets = {}
     if os.path.isdir("/root/reference/test/data"):
         for name, sens, het, kw in (
+            # all 4 modes (reference's multi-worker matrix covers every
+            # mode, test/learning.jl:176-237)
             ("mi_nz", False, True, dict(n_obs_min=160)),
             ("fz_nz", True, True, {}),
+            ("mi", False, False, dict(n_obs_min=160)),
+            ("fz", True, False, {}),
             # exercises the rank-0-broadcast deterministic clock: checkpoint
             # and convergence decisions must be identical on both processes
             ("mi_nz_timed", False, True,

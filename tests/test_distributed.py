@@ -112,18 +112,33 @@ def test_two_process_parity(tmp_path):
     net_keys = [k for k in r0.files if k.startswith("net_")]
     if not net_keys:
         pytest.skip("reference data unavailable for e2e networks")
-    assert set(net_keys) == {"net_mi_nz", "net_fz_nz", "net_mi_nz_timed"}
+    assert set(net_keys) == {"net_mi_nz", "net_fz_nz", "net_mi", "net_fz",
+                             "net_mi_nz_timed"}
     for k in net_keys:
         np.testing.assert_array_equal(
             r0[k], r1[k],
             err_msg=f"{k}: networks differ across processes")
 
     import flashweave_tpu as fw
+    from flashweave_tpu.types import Graph
+    from flashweave_tpu.utils.testing import compare_graph_results
 
-    for k, name in (("net_mi_nz", "mi_nz"), ("net_fz_nz", "fz_nz")):
+    for k, name in (("net_mi_nz", "mi_nz"), ("net_fz_nz", "fz_nz"),
+                    ("net_mi", "mi"), ("net_fz", "fz")):
         gold = fw.load_network(
             "/root/reference/test/data/learning_expected/"
             f"exp_{name}_maxk3.edgelist").graph
+        if name == "mi":
+            # conditional mi is the order-sensitive special case: the
+            # reference's own tolerance model grants it 22 nbr diffs
+            # (test/learning.jl:210-216); compare under that model
+            got_g = Graph(gold.n_nodes)
+            for u, v, w in r0[k]:
+                got_g.add_edge(int(u), int(v), float(w))
+            assert compare_graph_results(
+                gold, got_g, rtol=1e-2, approx=True, approx_nbr_diff=22,
+                approx_weight_meandiff=0.25, verbose=True)
+            continue
         got_edges = {(int(u), int(v)) for u, v, _ in r0[k]}
         exp_edges = {(u, v) for u, v, _ in gold.edges()}
         assert got_edges == exp_edges, (
