@@ -986,6 +986,10 @@ def _consume_window(T, cand, cfg, engine, got, gi, Zarr, kvec, a):
 # inflation to ~15% (2600 nearly DOUBLED it and the tunnel serializes
 # transfers with compute, so wasted device work is pure wall time there).
 TURBO_TEST_BUDGET = 700
+# the MXU turbo kernel's marginal cost per window scales with the union
+# subset family (~U*S plane traffic), not the test count, so deeper
+# windows are affordable there: 1700 covers m <= 10
+TURBO_MXU_BUDGET = 1700
 
 # full-target window layouts keyed by (m, max_k): every Z entry is an index
 # into the target's candidate array, so one cached template + one fancy
@@ -1037,6 +1041,44 @@ def _turbo_template(m: int, max_k: int):
     return tpl
 
 
+@lru_cache(maxsize=64)
+def _turbo_mxu_template(m: int, max_k: int):
+    """Host-side constants for the MXU turbo-window kernel
+    (ops/condtests.turbo_tests_begin): the window's UNION subset family --
+    all subsets of the m candidates of size 1..min(max_k, m-1), each
+    encoded once as stratum indicator planes on device -- plus each
+    template test's (candidate lane jb, subset id ub) coordinates and the
+    per-digest-slot segment bookkeeping.  The test order/slot layout is
+    exactly _turbo_template's, so the digest consume in _turbo_target is
+    shared between the MXU and histogram paths."""
+    IDX, KV, COUNTS = _turbo_template(m, max_k)
+    B = len(KV)
+    subsets = []
+    for k in range(1, min(max_k, m - 1) + 1):
+        subsets.extend(itertools.combinations(range(m), k))
+    sid = {frozenset(s): i for i, s in enumerate(subsets)}
+    U = len(subsets)
+    memb = np.zeros((U, max_k), np.int32)
+    klen = np.zeros(U, np.int32)
+    for i, s in enumerate(subsets):
+        memb[i, : len(s)] = s
+        klen[i] = len(s)
+    ub = np.fromiter(
+        (sid[frozenset(IDX[b, : KV[b]].tolist())] for b in range(B)),
+        np.int32, count=B)
+    # per-test candidate lane: I slots test candidates 1..m-1 against
+    # all-accept prefixes, then E slots rotate candidates 0..m-1
+    jb = np.repeat(np.concatenate([np.arange(1, m), np.arange(m)]),
+                   COUNTS).astype(np.int32)
+    NC = 2 * m - 1
+    segb = np.repeat(np.arange(NC, dtype=np.int64), COUNTS).astype(np.int32)
+    offs = np.zeros(NC, np.int64)
+    np.cumsum(COUNTS[:-1], out=offs[1:])
+    locb = (np.arange(B, dtype=np.int64) - offs[segb]).astype(np.int32)
+    return dict(B=B, U=U, NC=NC, memb=memb, klen=klen, jb=jb, ub=ub,
+                segb=segb, locb=locb, offs=offs.astype(np.int32))
+
+
 def _turbo_target(T, candidates, cfg, engine, support_dict, whitelist,
                   control):
     """ONE speculative window covering the target's whole search: every
@@ -1075,15 +1117,25 @@ def _turbo_target(T, candidates, cfg, engine, support_dict, whitelist,
         return HitonState("F", {c0: entry}, {c0: entry}, [], {})
     stE = _subset_total(m - 1, max_k)
     total = sum(_subset_total(k, max_k) for k in range(1, m)) + m * stE
-    if stE > SUBSET_CHUNK or total > TURBO_TEST_BUDGET:
+    mxu = getattr(engine, "turbo_mxu", False)
+    budget = TURBO_MXU_BUDGET if mxu else TURBO_TEST_BUDGET
+    if stE > SUBSET_CHUNK or total > budget:
         return None
-    cands_np = np.asarray(candidates, np.int32)
-    IDX, KV, COUNTS = _turbo_template(m, max_k)
     control.turbo_attempts += 1
     if WINDOW_STATS is not None:
         WINDOW_STATS["turbo"] = WINDOW_STATS.get("turbo", 0) + 1
-    got = yield ("miwin", T, candidates[1:] + candidates,
-                 cands_np[IDX], KV, COUNTS, False)
+        if mxu:
+            WINDOW_STATS["turbo_mxu"] = WINDOW_STATS.get("turbo_mxu", 0) + 1
+    if mxu:
+        # MXU kernel path: the engine computes every (candidate, subset)
+        # joint table of this window with ONE bf16 contraction and returns
+        # the same per-slot digest layout (ops/condtests._turbo_digest_fn)
+        got = yield ("turbowin", T, candidates, m)
+    else:
+        cands_np = np.asarray(candidates, np.int32)
+        IDX, KV, COUNTS = _turbo_template(m, max_k)
+        got = yield ("miwin", T, candidates[1:] + candidates,
+                     cands_np[IDX], KV, COUNTS, False)
     exit_e, wstat, wpval = got
     # interleaving scan: candidate 0 auto-accepts (reference hiton.jl:57-59)
     c0 = candidates[0]

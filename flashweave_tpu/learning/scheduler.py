@@ -546,7 +546,7 @@ class Dispatcher:
             B = len(kvec)
             return self.engine.fz_tests_raw(
                 np.full(B, T, np.int32), np.full(B, cand, np.int32), Zs, kvec)
-        if kind in ("miwin", "mcorwin", "fzwin"):
+        if kind in ("miwin", "mcorwin", "fzwin", "turbowin"):
             # a speculative window still ships as ONE device round in
             # sequential mode -- reuse the batching machinery solo
             resp: Dict[int, object] = {}
@@ -571,8 +571,15 @@ class Dispatcher:
         fz_win, fz_slots = [], []
         mcor_pairs, mcor_vls = [], []
         mcor_slots = []   # (T, kind, n_cands)
+        turbo_by_m: Dict[int, tuple] = {}  # m -> ([T], [cands])
         for T, r in pending.items():
             kind = r[0]
+            if kind == "turbowin":
+                _, _, cands, m = r
+                ts, cs = turbo_by_m.setdefault(m, ([], []))
+                ts.append(T)
+                cs.append(cands)
+                continue
             if kind in ("mi", "fz"):
                 _, _, cand, Zarr, kvec = r
                 # bare "mi" requests need full packed results (the chunked
@@ -630,16 +637,31 @@ class Dispatcher:
         if mcor_pairs:
             mcor_h = (self.engine.masked_cor_begin(mcor_pairs, mcor_vls),
                       mcor_slots)
-        return (mi_h, mi_bare_h), fz_h, mcor_h
+        turbo_h = []
+        if turbo_by_m:
+            from .hiton import _turbo_mxu_template
+
+            for m in sorted(turbo_by_m):
+                ts, cs = turbo_by_m[m]
+                tpl = _turbo_mxu_template(m, self.engine.max_k)
+                h = self.engine.turbo_tests_begin(
+                    m, np.asarray(ts, np.int64),
+                    np.asarray(cs, np.int64), self.alpha, tpl)
+                turbo_h.append((h, ts))
+        return (mi_h, mi_bare_h), fz_h, mcor_h, turbo_h
 
     def finish(self, bundle, responses: Dict[int, object]):
         """Block on a begin() bundle and scatter per-window result
         views, each with precomputed per-candidate early-exit/weakest
         digests."""
-        (mi_h, mi_bare_h), fz_h, mcor_h = bundle
+        (mi_h, mi_bare_h), fz_h, mcor_h, turbo_h = bundle
         for mi_h in (mi_h, mi_bare_h):
             self._finish_mi(mi_h, responses)
         self._finish_fz_mcor(fz_h, mcor_h, responses)
+        for h, ts in turbo_h:
+            exit_e, wstat, wpval = self.engine.turbo_tests_finish(h)
+            for i, T in enumerate(ts):
+                responses[T] = (exit_e[i], wstat[i], wpval[i])
 
     def _finish_mi(self, mi_h, responses: Dict[int, object]):
         if mi_h is not None and mi_h[3]:

@@ -290,6 +290,142 @@ def _mi_cond_digest_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz, nzu,
 
 
 @lru_cache(maxsize=64)
+def _turbo_digest_fn(mesh, nseg, Wc, m, max_k, L, S, nz, nzu, NC, B, U,
+                     max_df, on_tpu):
+    """MXU turbo-window kernel + on-device per-slot digest.
+
+    Replaces the per-test byte-packed histogram for full-target speculative
+    windows (the VPU-bound stage this kernel was designed to lift; the
+    stage's reference counterpart: src/interleaved.jl:42-249 +
+    src/contingency.jl:300-480).  Per window of m candidates:
+
+      A  (n, m*Lq)  per-candidate xy-level indicator planes with the nz row
+                    mask folded in (an indicator pair (x=a>=1, y=b>=1) is
+                    itself the nz mask in the uniform case);
+      Bz (n, U*S)   stratum indicator planes of the window's UNION subset
+                    family (U = all subsets of the m candidates of size
+                    1..min(max_k, m-1); radix z-codes in base L);
+      P = A^T @ Bz  ONE bf16 batched contraction -- 0/1 products are exact
+                    in bf16 and f32 accumulation of counts <= n < 2^24 is
+                    integer-exact -- yields EVERY (candidate, subset) joint
+                    contingency table at once (~50-100x less VPU work than
+                    per-test histogramming).
+
+    The per-test tables are then gathered from P via the host-precomputed
+    index template GI, reduced to G-test statistics (ops/statfuns.mi_stats,
+    identical semantics to _mi_cond_kernel incl. power gating), and
+    digested per (window, slot) by the same segment reductions as
+    _mi_cond_digest_scan_fn.  Windows scan in chunks of Wc; with a mesh the
+    Wc axis shards over devices (embarrassingly parallel)."""
+    Lq = (L - 1) ** 2 if nzu else L * L
+    Lr = L - 1 if nzu else L
+
+    def fn(data, levels, maxv, Ts, cands, memb, klen, GI, segb, locb, offs,
+           jb, hps, la):
+        n = data.shape[0]
+        fdt = la.dtype
+        mm = jnp.bfloat16 if on_tpu else fdt
+        lv = jnp.arange(1 if nzu else 0, L, dtype=jnp.int32)
+        pw = L ** jnp.arange(max_k, dtype=jnp.int32)
+        wz = jnp.where(jnp.arange(max_k)[None, :] < klen[:, None],
+                       pw[None, :], 0)                       # (U, max_k)
+        BIG = jnp.int32(1 << 30)
+        iw = jnp.arange(Wc, dtype=jnp.int32)
+        segf = (iw[:, None] * NC + segb[None, :]).reshape(-1)
+        locf = jnp.tile(locb, Wc)
+        woff = (iw[:, None] * B + offs[None, :]).reshape(-1)
+
+        def step(carry, seg):
+            Tw, Cw = seg
+            Tw = Tw.astype(jnp.int32)
+            Cw = Cw.astype(jnp.int32)
+            x = jnp.take(data, Tw, axis=1).astype(jnp.int32)     # (n, Wc)
+            ys = jnp.take(data, Cw.reshape(-1), axis=1).reshape(
+                n, Wc, m).astype(jnp.int32)
+            xo = x[..., None] == lv                              # (n,Wc,Lr)
+            yo = ys[..., None] == lv                             # (n,Wc,m,Lr)
+            if nzu or not nz:
+                A = xo[:, :, None, :, None] & yo[:, :, :, None, :]
+            else:
+                # generic nz: binary variables keep their zeros (offset 0)
+                ox = jnp.take(maxv, Tw) > 1                      # (Wc,)
+                oyv = jnp.take(maxv, Cw.reshape(-1)).reshape(Wc, m) > 1
+                mask = (((x != 0) | ~ox[None, :])[:, :, None]
+                        & ((ys != 0) | ~oyv[None, :, :]))        # (n,Wc,m)
+                A = (xo[:, :, None, :, None] & yo[:, :, :, None, :]
+                     & mask[..., None, None])
+            A2 = A.reshape(n, Wc, m * Lq).astype(mm)
+            zm = jnp.take(ys, memb.reshape(-1), axis=2).reshape(
+                n, Wc, U, max_k)
+            zc = (zm * wz[None, None]).sum(-1)                   # (n,Wc,U)
+            Bz = zc[..., None] == jnp.arange(S, dtype=jnp.int32)
+            Bz2 = Bz.reshape(n, Wc, U * S).astype(mm)
+            P = jnp.einsum("nwa,nwu->wau", A2, Bz2,
+                           preferred_element_type=jnp.float32)
+            tab = jnp.take(P.reshape(Wc, -1), GI, axis=1).reshape(
+                Wc * B, Lr, Lr, S).astype(fdt)
+            zeros = jnp.zeros(Wc * B, jnp.int32)
+            if nzu or not nz:
+                stat, df, n_obs = sf.mi_stats(tab, zeros, zeros, xp=jnp)
+            else:
+                oxb = jnp.repeat(ox.astype(jnp.int32), B)
+                oyb = jnp.take(oyv.astype(jnp.int32), jb,
+                               axis=1).reshape(-1)
+                stat, df, n_obs = sf.mi_stats(tab, oxb, oyb, xp=jnp)
+            levels_z = (tab.sum(axis=(1, 2)) > 0).sum(axis=-1)
+            if nzu:
+                lx = ly = jnp.asarray(float(L - 1), fdt)
+            elif nz:
+                lx = (L - oxb).astype(fdt)
+                ly = (L - oyb).astype(fdt)
+            else:
+                lx = jnp.repeat(jnp.take(levels, Tw), B).astype(fdt)
+                ly = jnp.take(jnp.take(levels, Cw), jb,
+                              axis=1).reshape(-1).astype(fdt)
+            cells = lx * ly * levels_z.astype(fdt)
+            suff = jnp.where(cells > 0,
+                             n_obs / jnp.where(cells > 0, cells, 1.0) > hps,
+                             True)
+            stat = jnp.where(suff, stat, 0.0)
+            df = jnp.where(suff, df, 0)
+            logp = sf.mi_logpval_smalldf(stat, df, n_obs, max_df, xp=jnp)
+            logp = lax.optimization_barrier(jnp.where(suff, logp, 0.0))
+            sig = logp < la
+            exit_loc = jax.ops.segment_min(
+                jnp.where(sig, BIG, locf), segf, num_segments=Wc * NC,
+                indices_are_sorted=True)
+            exit_e = jnp.where(exit_loc >= BIG, -1, exit_loc)
+            M = jax.ops.segment_max(
+                jnp.where(sig, logp, -jnp.inf), segf,
+                num_segments=Wc * NC, indices_are_sorted=True)
+            is_w = sig & (logp == jnp.take(M, segf))
+            w = jax.ops.segment_max(
+                jnp.where(is_w, locf, -1), segf, num_segments=Wc * NC,
+                indices_are_sorted=True)
+            widx = woff + jnp.clip(w, 0, None)
+            wstat = jnp.take(stat, jnp.clip(widx, 0, Wc * B - 1))
+            dig = jnp.stack([exit_e.astype(fdt), wstat.astype(fdt),
+                             jnp.exp(M).astype(fdt)]).reshape(3, Wc, NC)
+            return carry, dig
+
+        _, digs = lax.scan(step, 0, (Ts, cands))
+        return digs                                    # (nseg, 3, Wc, NC)
+
+    if mesh is None:
+        return jax.jit(fn)
+
+    def gathered(*args):
+        return lax.all_gather(fn(*args), "d", axis=2, tiled=True)
+
+    return jax.jit(jax.shard_map(
+        gathered, mesh=mesh,
+        in_specs=(P(), P(), P(), P(None, "d"), P(None, "d", None),
+                  P(), P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=P(), check_vma=False,
+    ))
+
+
+@lru_cache(maxsize=64)
 def _mi_cond_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz, nzu, pack2):
     """lax.scan of the conditional MI kernel over ``nseg`` fixed-size
     segments -- ONE device dispatch per scheduler round no matter how large
@@ -588,6 +724,20 @@ class CondTestEngine:
                 jax.config.jax_enable_x64
                 or (self.L - 1) ** 2 * self.S_hist < (1 << 10)
             )
+            # MXU turbo-window kernel (round 5, see _turbo_digest_fn): one
+            # bf16 contraction per full-target window computes every
+            # (candidate, subset) joint table exactly.  Requires the full
+            # radix stratum space (no compaction in play) and the on-device
+            # digest's significance semantics (f32 closed-form log-p on
+            # TPU; bit-exact vs the host digest under x64 parity runs).
+            # Opt out with FLASHWEAVE_TURBO_MXU=0.
+            self._turbo_dev_cache = {}
+            self.turbo_mxu = (
+                _os.environ.get("FLASHWEAVE_TURBO_MXU") != "0"
+                and max_k > 0
+                and self.S == self.S_hist
+                and (self.L - 1) ** 2 * self.S <= 128
+                and (self.dev_digest or jax.config.jax_enable_x64))
         self.cor_mat = cor_mat  # host float64 (fz mode, explicit matrix)
         # fz without an explicit host matrix: DEVICE-resident correlation
         # matrix (f32 on TPU) + the host pcor DP -- drops the host float64
@@ -761,6 +911,78 @@ class CondTestEngine:
             np.concatenate([d[2][: h[4]] for d, h in zip(parts, handle)])
             .astype(np.float64),
         )
+
+    def turbo_tests_begin(self, m: int, Ts: np.ndarray, cands: np.ndarray,
+                          alpha: float, tpl: dict):
+        """Launch W full-target MXU turbo windows (Ts (W,), cands (W, m));
+        ``tpl`` is hiton._turbo_mxu_template(m, max_k).  Every window's
+        (candidate, subset) joint tables come from ONE bf16 contraction
+        (_turbo_digest_fn); only the (3, W, NC) per-slot digest crosses the
+        tunnel.  Returns a handle for turbo_tests_finish."""
+        global N_TESTS_DISPATCHED
+        W = len(Ts)
+        B, U, NC = tpl["B"], tpl["U"], tpl["NC"]
+        N_TESTS_DISPATCHED += W * B
+        S = self.L ** self.max_k
+        dev = self._turbo_dev_cache.get(m)
+        if dev is None:
+            # device-cached template constants: uploaded once per (m, L)
+            Lq = (self.L - 1) ** 2 if self.nzu else self.L ** 2
+            GI = (((tpl["jb"].astype(np.int64)[:, None, None] * Lq
+                    + np.arange(Lq)[None, :, None]) * U
+                   + tpl["ub"][:, None, None]) * S
+                  + np.arange(S)).astype(np.int32)
+            dev = (jnp.asarray(tpl["memb"]), jnp.asarray(tpl["klen"]),
+                   jnp.asarray(GI.reshape(-1)), jnp.asarray(tpl["segb"]),
+                   jnp.asarray(tpl["locb"]), jnp.asarray(tpl["offs"]),
+                   jnp.asarray(tpl["jb"]))
+            self._turbo_dev_cache[m] = dev
+        ndev = 1 if self.mesh is None else self.mesh.devices.size
+        # window-chunk size bounded by the (n, Wc, U*S) plane working set
+        per_w = max(self.n * U * S, 1)
+        Wc = max(1, 1 << max(0, ((1 << 25) // per_w).bit_length() - 1))
+        Wc = min(Wc, 64)
+        Wc = max(Wc, ndev)
+        handles = []
+        step = Wc * NSEG_BUCKETS[-2]          # cap nseg per dispatch at 512
+        for s0 in range(0, W, step):
+            handles.append(self._turbo_chunk(
+                Ts[s0:s0 + step], cands[s0:s0 + step], alpha, m, Wc, dev,
+                NC, B, U))
+        return handles
+
+    def _turbo_chunk(self, Ts, cands, alpha, m, Wc, dev, NC, B, U):
+        import math as _math
+
+        W = len(Ts)
+        need = -(-W // Wc)
+        nseg = _nseg_bucket(need)
+        Wp = nseg * Wc
+        ddt = self._desc_dtype()
+        Tp = np.zeros(Wp, ddt); Tp[:W] = Ts
+        Cp = np.zeros((Wp, m), ddt); Cp[:W] = cands
+        fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        ndev = 1 if self.mesh is None else self.mesh.devices.size
+        fn = _turbo_digest_fn(
+            self.mesh, nseg, Wc // ndev, m, self.max_k, self.L,
+            self.L ** self.max_k, self.nz, self.nzu, NC, B, U,
+            (self.L - 1) ** 2 * self.S_hist,
+            jax.default_backend() == "tpu")
+        digs = fn(self.data_j, self.levels_j, self.maxv_j,
+                  Tp.reshape(nseg, Wc), Cp.reshape(nseg, Wc, m),
+                  *dev, float(self.hps), jnp.asarray(_math.log(alpha), fdt))
+        return (_prefetch(digs), W, Wc, NC)
+
+    def turbo_tests_finish(self, handles):
+        """(exit_e (W, NC) int, wstat (W, NC), wpval (W, NC)) -- the same
+        per-slot digest layout the miwin path produces per window."""
+        outs = []
+        for digs, W, Wc, NC in handles:
+            d = np.asarray(digs)                   # (nseg, 3, Wc, NC)
+            outs.append(np.moveaxis(d, 1, 0).reshape(3, -1, NC)[:, :W])
+        d = outs[0] if len(outs) == 1 else np.concatenate(outs, axis=1)
+        return (d[0].astype(np.int64), d[1].astype(np.float64),
+                d[2].astype(np.float64))
 
     def mi_tests_raw(self, X: np.ndarray, Y: np.ndarray, Zs: np.ndarray,
                      kvec: np.ndarray):

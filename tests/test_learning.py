@@ -524,6 +524,7 @@ def test_turbo_on_off_identical_without_feed_forward(monkeypatch):
     g_on = LGL(data, **_lgl_kwargs(feed_forward=False)).graph
     assert stats_on.get("turbo_full", 0) > 0      # turbo actually ran
     monkeypatch.setattr(hiton, "TURBO_TEST_BUDGET", 0)
+    monkeypatch.setattr(hiton, "TURBO_MXU_BUDGET", 0)
     stats_off = {}
     monkeypatch.setattr(hiton, "WINDOW_STATS", stats_off)
     g_off = LGL(data, **_lgl_kwargs(feed_forward=False)).graph
@@ -545,6 +546,7 @@ def test_turbo_on_off_hmp_goldens(hmp_small, monkeypatch):
               n_obs_min=160)
     g_on = LGL(norm, feed_forward=False, **kw).graph
     monkeypatch.setattr(hiton, "TURBO_TEST_BUDGET", 0)
+    monkeypatch.setattr(hiton, "TURBO_MXU_BUDGET", 0)
     g_off = LGL(norm, feed_forward=False, **kw).graph
     assert _edge_list(g_on) == _edge_list(g_off)
     # with feed-forward on (default), the turbo-off network must still match
@@ -634,7 +636,8 @@ def test_whitelist_snapshot_at_window_build(monkeypatch):
     from flashweave_tpu.ops.condtests import CondTestEngine
     from flashweave_tpu.utils.misc import get_levels, get_max_vals
 
-    monkeypatch.setattr(hiton, "TURBO_TEST_BUDGET", 0)  # standard windows
+    monkeypatch.setattr(hiton, "TURBO_TEST_BUDGET", 0)
+    monkeypatch.setattr(hiton, "TURBO_MXU_BUDGET", 0)  # standard windows
     rng = np.random.default_rng(2)
     n = 1200
     z = rng.integers(0, 3, n)
@@ -687,3 +690,31 @@ def test_whitelist_snapshot_at_window_build(monkeypatch):
     st2 = run((2,))
     assert 2 in st2.inter_results
     assert np.isnan(st2.inter_results[2][0])
+
+
+@pytest.mark.parametrize("test_name", ["mi", "mi_nz"])
+def test_turbo_mxu_matches_histogram(test_name, monkeypatch):
+    """The MXU turbo-window kernel (one bf16 contraction per full-target
+    window, ops/condtests._turbo_digest_fn) must reproduce the byte-packed
+    histogram path's networks exactly.  _turbo_synth mixes binary and
+    3-level variables, so mi_nz exercises the GENERIC nz branch (per-
+    variable offsets + row masks), not just the uniform slice."""
+    from flashweave_tpu.learning import hiton
+
+    data = _turbo_synth()
+    kw = _lgl_kwargs(test_name=test_name, feed_forward=False)
+    if test_name == "mi_nz":
+        kw["n_obs_min"] = 100
+    stats = {}
+    monkeypatch.setattr(hiton, "WINDOW_STATS", stats)
+    g_mxu = LGL(data, **kw).graph
+    assert stats.get("turbo_mxu", 0) > 0, stats
+    monkeypatch.setenv("FLASHWEAVE_TURBO_MXU", "0")
+    stats2 = {}
+    monkeypatch.setattr(hiton, "WINDOW_STATS", stats2)
+    g_hist = LGL(data, **kw).graph
+    assert stats2.get("turbo_mxu", 0) == 0 and stats2.get("turbo", 0) > 0
+    e1, e2 = _edge_list(g_mxu), _edge_list(g_hist)
+    assert [(u, v) for u, v, _ in e1] == [(u, v) for u, v, _ in e2]
+    np.testing.assert_allclose([w for _, _, w in e1],
+                               [w for _, _, w in e2], rtol=1e-12)
