@@ -1071,12 +1071,10 @@ def _turbo_mxu_template(m: int, max_k: int):
     jb = np.repeat(np.concatenate([np.arange(1, m), np.arange(m)]),
                    COUNTS).astype(np.int32)
     NC = 2 * m - 1
-    segb = np.repeat(np.arange(NC, dtype=np.int64), COUNTS).astype(np.int32)
     offs = np.zeros(NC, np.int64)
     np.cumsum(COUNTS[:-1], out=offs[1:])
-    locb = (np.arange(B, dtype=np.int64) - offs[segb]).astype(np.int32)
     return dict(B=B, U=U, NC=NC, memb=memb, klen=klen, jb=jb, ub=ub,
-                segb=segb, locb=locb, offs=offs.astype(np.int32))
+                offs=offs, counts=np.asarray(COUNTS, np.int64))
 
 
 def _turbo_target(T, candidates, cfg, engine, support_dict, whitelist,

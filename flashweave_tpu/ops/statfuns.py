@@ -148,7 +148,14 @@ def mi_logpval_smalldf(mi, df, n_obs, max_df, xp=jnp):
     space so ultra-significant pairs keep a total order (float p-values
     underflow to indistinguishable 0 around g ~ 180 in f32 / 1420 in f64;
     the BH ranking and the HITON candidate order both sort by p-value).
-    Matches log(mi_pval(...)) for integer 0 <= df <= max_df."""
+    Matches log(mi_pval(...)) for integer 0 <= df <= max_df.
+
+    The per-df series are built INCREMENTALLY: each branch's logsumexp
+    chain is a prefix of the next (same accumulation order, bit-identical
+    values), so the total cost is O(max_df) chained logsumexps instead of
+    the O(max_df^2/4) independent re-evaluations of the naive unroll --
+    at max_df ~ 100 (conditional digests) this was the dominant VPU cost
+    of the digest kernels."""
     from math import lgamma as _lgamma
 
     x = xp.abs(mi) * xp.asarray(n_obs, dtype=mi.dtype)   # g/2
@@ -156,29 +163,26 @@ def mi_logpval_smalldf(mi, df, n_obs, max_df, xp=jnp):
     sx = xp.sqrt(x)
     ler = log_erfc(sx, xp=xp)
 
-    def even_logq(k):
-        # Q = e^{-x} sum_{i<k} x^i / i!
-        if k == 1:
-            return -x
-        acc = xp.zeros_like(x)                            # i = 0 term
-        for i in range(1, k):
-            acc = _logsumexp2(acc, i * logx - _lgamma(i + 1), xp)
-        return -x + acc
-
-    def odd_logq(k):
-        # Q = erfc(sqrt(x)) + e^{-x} sum_{1<=i<=k} x^{i-1/2} / Gamma(i+1/2)
-        if k == 0:
-            return ler
-        acc = None
-        for i in range(1, k + 1):
-            t = (i - 0.5) * logx - _lgamma(i + 0.5)
-            acc = t if acc is None else _logsumexp2(acc, t, xp)
-        return _logsumexp2(ler, -x + acc, xp)
-
     df = xp.asarray(df)
     out = xp.zeros_like(x)                                # df <= 0 -> log 1
+    # even d = 2k: Q = e^{-x} sum_{i<k} x^i / i!; running chain over i
+    acc_e = xp.zeros_like(x)                              # i = 0 term
+    # odd d = 2k+1: Q = erfc(sqrt(x)) + e^{-x} sum_{1<=i<=k} x^{i-1/2} /
+    # Gamma(i+1/2); running chain over i (None until k >= 1)
+    acc_o = None
     for d in range(1, max_df + 1):
-        logq = even_logq(d // 2) if d % 2 == 0 else odd_logq(d // 2)
+        k = d // 2
+        if d % 2 == 0:
+            logq = -x + acc_e if k > 1 else -x
+            # extend the chain for the NEXT even branch (i = k term)
+            acc_e = _logsumexp2(acc_e, k * logx - _lgamma(k + 1), xp)
+        else:
+            if k == 0:
+                logq = ler
+            else:
+                t = (k - 0.5) * logx - _lgamma(k + 0.5)
+                acc_o = t if acc_o is None else _logsumexp2(acc_o, t, xp)
+                logq = _logsumexp2(ler, -x + acc_o, xp)
         out = xp.where(df == d, logq, out)
     return xp.minimum(out, 0.0)
 
