@@ -510,7 +510,18 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
     spec = n_c if phase == "E" else 4
     ci = 0
     last_accept = True   # univar-strength-sorted: accept runs come first
-    fast = discrete and fast_mode(cfg)
+    # fz_nz rides the same fast digest machinery since round 5: the
+    # dispatcher digests a whole round's masked-cor windows in vectorized
+    # float64 passes (scheduler._digest_from_pvals), so per-candidate host
+    # consume work disappears for the continuous modes too
+    fznz_dev = nz and not discrete and engine.recursive_pcor
+    fast = fast_mode(cfg) and (discrete or fz_dev or fznz_dev)
+    # fz past the p x p wall routes through the continuous var-list windows
+    # (per-candidate on-the-fly correlations + round/device digests)
+    # instead of per-test submatrix Grams
+    fz_gather = fz_dev and not (getattr(engine, "cor_onfly", False)
+                                and fast)
+    cont_win = fznz_dev or (fz_dev and not fz_gather)
     cache_a = -1         # shared-template cache: valid while len(accepted)
     cache = None         # is unchanged ('I' only ever appends)
     while ci < n_c:
@@ -537,13 +548,14 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
         shared = False
         erot = False
         ichain = False
-        if (spec_able and (discrete or not nz) and phase == "I"
+        if (spec_able and (discrete or not nz or fast) and phase == "I"
                 and not mode_accept and accepted
                 and _subset_total(len(accepted), max_k) <= SUBSET_CHUNK):
             # one conditioning template serves the window: valid for plain
             # tests AND for discrete nz (mi_nz), whose per-candidate row
             # masking happens on device from the request's own (X, Y)
-            # columns -- only fz_nz needs per-candidate mcor var-lists
+            # columns; fz_nz additionally attaches per-candidate mcor
+            # var-lists [T, cand] + Zs (the positions template is shared).
             # reject-chain interleaving: every candidate in the window
             # shares the SAME conditioning set -- one template serves all,
             # cached across consecutive reject-windows of this target
@@ -567,6 +579,8 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
                     else:
                         items.append((cand, Zs_shared, True, False))
                         cands_w.append(cand)
+            if cont_win or (nz and not discrete):
+                varlists_w = [[T, c] + Zs_shared for c in cands_w]
         elif (spec_able and fast and phase == "E" and mode_accept
               and not blacklist and len(accepted) >= 2
               and _subset_total(len(accepted) - 1, max_k) <= SUBSET_CHUNK
@@ -582,6 +596,13 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
             # whitelist hit appended a duplicate).
             erot = True
             W = min(window, n_c - ci)
+            if not discrete:
+                # continuous windows pay a per-candidate correlation; an
+                # elimination mispredict discards the rest of the window,
+                # so whole-phase rotations exploded dispatched work 2.5x
+                # on elimination-heavy fz_nz data (measured p=65k) --
+                # cap accept-assumption windows at the conservative depth
+                W = min(W, SPEC_WINDOW_MAX)
             cands_w = candidates[ci : ci + W]
             items = None
             a = len(accepted)
@@ -589,9 +610,15 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
             rot = acc_np[(1 + np.arange(a - 1, dtype=np.int64)[None, :]
                           + np.arange(W, dtype=np.int64)[:, None]) % a]
             pos, kvec_t = _combo_template(a - 1, max_k)
-            Zarr_e = rot[:, pos].reshape(-1, max_k)
-            kvec_e = np.tile(kvec_t, W)
-            counts_e = np.full(W, len(kvec_t), np.int64)
+            if discrete or fz_gather:
+                Zarr_e = rot[:, pos].reshape(-1, max_k)
+                kvec_e = np.tile(kvec_t, W)
+                counts_e = np.full(W, len(kvec_t), np.int64)
+            else:
+                # fz_nz: the positions template is shared; each candidate
+                # carries its own rotated mcor var-list
+                varlists_w = [[T, c] + rot[j].tolist()
+                              for j, c in enumerate(cands_w)]
         elif (spec_able and fast and phase == "I" and mode_accept
               and not blacklist and accepted
               and _subset_total(len(accepted) + min(window, SPEC_WINDOW_MAX,
@@ -609,7 +636,14 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
             items = None
             IDX, kvec_e, counts_e = _ichain_template(a0, W, max_k)
             vm = np.asarray(accepted + cands_w, np.int32)
-            Zarr_e = vm[IDX]
+            if discrete or fz_gather:
+                Zarr_e = vm[IDX]
+            else:
+                # fz_nz: candidate k's mcor var-list is [T, c_k] + the
+                # all-accept prefix; IDX already indexes that prefix
+                vml = vm.tolist()
+                varlists_w = [[T, c] + vml[: a0 + k]
+                              for k, c in enumerate(cands_w)]
         else:
             # accept-chain / E-phase builds pay per-candidate host work and
             # mispredict at the first outcome flip -- cap them at the
@@ -635,11 +669,14 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
                         items.append((cand, Zs, False, True))
                     break
                 pos, kvec = _combo_template(a, max_k)
-                Zarr_parts.append(np.asarray(Zs, np.int32)[pos])
+                if discrete or fz_gather:
+                    Zarr_parts.append(np.asarray(Zs, np.int32)[pos])
+                elif fast:
+                    Zarr_parts.append(pos)    # continuous digest: POSITIONS
                 kvec_parts.append(kvec)
                 items.append((cand, Zs, True, False))
                 cands_w.append(cand)
-                if nz and not discrete:
+                if cont_win or (nz and not discrete):
                     varlists_w.append([T, cand] + Zs)
                 if mode_accept:
                     chain = Zs + [cand]
@@ -656,8 +693,18 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
         got = None
         if cands_w:
             if erot or ichain:
-                req = ("miwin", T, cands_w, Zarr_e, kvec_e, counts_e, False)
-            elif discrete or fz_dev:
+                if discrete or fz_gather:
+                    kind = "miwin" if discrete else "fzwin"
+                    req = (kind, T, cands_w, Zarr_e, kvec_e, counts_e,
+                           False)
+                elif erot:
+                    # fz_nz rotational-E: ONE shared positions template
+                    req = ("mcorwin", T, cands_w, varlists_w, pos, kvec_t,
+                           None)
+                else:
+                    req = ("mcorwin", T, cands_w, varlists_w, IDX, kvec_e,
+                           counts_e)
+            elif discrete or fz_gather:
                 kind = "miwin" if discrete else "fzwin"
                 if shared:
                     req = (kind, T, cands_w, Zarr, kvec,
@@ -668,6 +715,20 @@ def phase_backend(T: int, candidates: List[int], cfg: HitonConfig, engine,
                     req = (kind, T, cands_w,
                            np.concatenate(Zarr_parts),
                            np.concatenate(kvec_parts), counts, False)
+            elif fast:
+                # fz_nz fast windows: POSITIONS templates + per-candidate
+                # mcor var-lists; the dispatcher returns per-candidate
+                # digests (exit, weakest) computed in vectorized float64
+                # (scheduler._finish_fz_mcor / _digest_from_pvals)
+                if shared:
+                    req = ("mcorwin", T, cands_w, varlists_w, pos, kvec,
+                           None)
+                else:
+                    counts = np.fromiter((len(k) for k in kvec_parts),
+                                         np.int64, count=len(kvec_parts))
+                    req = ("mcorwin", T, cands_w, varlists_w,
+                           np.concatenate(Zarr_parts),
+                           np.concatenate(kvec_parts), counts)
             else:
                 req = ("mcorwin", T, [(T, c) for c in cands_w], varlists_w)
             got = yield req

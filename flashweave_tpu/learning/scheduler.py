@@ -186,6 +186,30 @@ def _gammaincc(a, x):
     return gammaincc(a, x)
 
 
+def _digest_from_pvals(stat, pval, sig, offsets, counts):
+    """Per-candidate (exit_e, weakest stat, weakest pval) digest from
+    already-computed p-values (continuous tests) -- float64 host semantics
+    identical to the generator's sequential scan: exit at the first
+    non-significant test; weakest = max pval with LAST-occurrence
+    tie-break, consumed only by no-exit candidates (whose tests are then
+    all significant, so no NaNs can reach the max)."""
+    Btot = len(stat)
+    nreq = len(offsets)
+    nonsig = np.nonzero(~sig)[0]
+    pos = np.searchsorted(nonsig, offsets)
+    first = np.append(nonsig, Btot)[pos]
+    ends = offsets + counts
+    exit_e = np.where(first < ends, first - offsets, -1)
+    seg_id = np.repeat(np.arange(nreq), counts)
+    M = np.maximum.reduceat(pval, offsets)
+    loc = np.arange(Btot) - offsets[seg_id]
+    wloc = np.maximum.reduceat(np.where(pval == M[seg_id], loc, -1),
+                               offsets)
+    gidx = offsets + np.clip(wloc, 0, None)
+    wstat = stat[np.clip(gidx, 0, Btot - 1)]
+    return exit_e, wstat, M
+
+
 class LiveWhitelist:
     """Membership view of a target's neighbors among finished targets."""
 
@@ -571,6 +595,7 @@ class Dispatcher:
         fz_win, fz_slots = [], []
         mcor_pairs, mcor_vls = [], []
         mcor_slots = []   # (T, kind, n_cands)
+        mcw_win, mcw_slots, mcw_vls = [], [], []  # fast fz_nz windows
         turbo_by_m: Dict[int, tuple] = {}  # m -> ([T], [cands])
         for T, r in pending.items():
             kind = r[0]
@@ -579,6 +604,14 @@ class Dispatcher:
                 ts, cs = turbo_by_m.setdefault(m, ([], []))
                 ts.append(T)
                 cs.append(cands)
+                continue
+            if kind == "mcorwin" and len(r) == 7:
+                # fast fz_nz window: positions template(s) + per-candidate
+                # mcor var-lists; digested round-level in _finish_mcw
+                _, _, cands, varlists, posa, kv, counts = r
+                mcw_win.append((T, cands, posa, kv, counts))
+                mcw_vls.append(varlists)
+                mcw_slots.append((T, len(cands)))
                 continue
             if kind in ("mi", "fz"):
                 _, _, cand, Zarr, kvec = r
@@ -637,6 +670,31 @@ class Dispatcher:
         if mcor_pairs:
             mcor_h = (self.engine.masked_cor_begin(mcor_pairs, mcor_vls),
                       mcor_slots)
+        mcw_h = None
+        if mcw_win:
+            Xs, Ys, POS, KV, counts, order = _assemble_round(mcw_win)
+            mcw_slots = [mcw_slots[i] for i in order]
+            pairs_flat, vls_flat = [], []
+            for i in order:
+                T_i, cands_i = mcw_win[i][0], mcw_win[i][1]
+                pairs_flat.extend((T_i, c) for c in cands_i)
+                vls_flat.extend(mcw_vls[i])
+            if getattr(self.engine, "cont_dev", False):
+                # device window digest: correlations + pcor DP + decision
+                # all stay on device; only (3, NC) scalars are fetched
+                mcw_h = ("dev",
+                         self.engine.cont_tests_begin(vls_flat, POS, KV,
+                                                      counts, self.alpha),
+                         mcw_slots)
+            else:
+                from ..ops import condtests as ct
+
+                ct.N_TESTS_DISPATCHED += len(KV)
+                mcw_h = ("host",
+                         self.engine.masked_cor_begin(
+                             pairs_flat, vls_flat,
+                             plain=not self.engine.nz),
+                         mcw_slots, POS, KV, counts)
         turbo_h = []
         if turbo_by_m:
             from .hiton import _turbo_mxu_template
@@ -648,20 +706,73 @@ class Dispatcher:
                     m, np.asarray(ts, np.int64),
                     np.asarray(cs, np.int64), self.alpha, tpl)
                 turbo_h.append((h, ts))
-        return (mi_h, mi_bare_h), fz_h, mcor_h, turbo_h
+        return (mi_h, mi_bare_h), fz_h, mcor_h, turbo_h, mcw_h
 
     def finish(self, bundle, responses: Dict[int, object]):
         """Block on a begin() bundle and scatter per-window result
         views, each with precomputed per-candidate early-exit/weakest
         digests."""
-        (mi_h, mi_bare_h), fz_h, mcor_h, turbo_h = bundle
+        (mi_h, mi_bare_h), fz_h, mcor_h, turbo_h, mcw_h = bundle
         for mi_h in (mi_h, mi_bare_h):
             self._finish_mi(mi_h, responses)
         self._finish_fz_mcor(fz_h, mcor_h, responses)
+        self._finish_mcw(mcw_h, responses)
         for h, ts in turbo_h:
             exit_e, wstat, wpval = self.engine.turbo_tests_finish(h)
             for i, T in enumerate(ts):
                 responses[T] = (exit_e[i], wstat[i], wpval[i])
+
+    def _finish_mcw(self, mcw_h, responses: Dict[int, object]):
+        """Round-level digest of the fast fz_nz windows: extract every
+        test's (m, m) submatrix from its candidate's masked correlation,
+        run ONE vectorized float64 pcor DP + Fisher-z pass over the whole
+        round, and reduce to per-candidate digests -- semantics identical
+        to the per-candidate generator scan (hiton.test_subsets_gen with
+        _fznz_subset_stats), at a handful of numpy passes per round."""
+        if mcw_h is None:
+            return
+        from ..ops import statfuns as sf
+
+        if mcw_h[0] == "dev":
+            _, handles, slots = mcw_h
+            exit_e, wstat, wpval = self.engine.cont_tests_finish(handles)
+            ri = 0
+            for T, w in slots:
+                responses[T] = (exit_e[ri:ri + w], wstat[ri:ri + w],
+                                wpval[ri:ri + w])
+                ri += w
+            return
+        _, handles, slots, POS, KV, counts = mcw_h
+        C_all, nobs = self.engine.masked_cor_finish_raw(handles)
+        max_k = self.engine.max_k
+        Bt = len(KV)
+        offsets = np.zeros(len(counts), np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        ti = np.repeat(np.arange(len(nobs)), counts)
+        POS = np.asarray(POS, np.int64)
+        KV = np.asarray(KV, np.int64)
+        pad = np.where(np.arange(max_k)[None, :] < KV[:, None],
+                       POS[:, :max_k] + 2, 0)
+        idx = np.concatenate(
+            [np.zeros((Bt, 1), np.int64), np.ones((Bt, 1), np.int64), pad],
+            axis=1)
+        stat = np.empty(Bt)
+        CH = 1 << 20                   # bound the (CH, m, m) extraction
+        for s in range(0, Bt, CH):
+            sl = slice(s, min(s + CH, Bt))
+            sub = C_all[ti[sl, None, None], idx[sl][:, :, None],
+                        idx[sl][:, None, :]]
+            stat[sl] = sf.pcor_dp(sub, KV[sl], max_k, xp=np)
+        nt = nobs[ti]
+        pval = np.asarray(sf.fz_pval(stat, nt, 0))
+        sig = (pval < self.alpha) & (nt >= self.engine.n_obs_min)
+        exit_e, wstat, wpval = _digest_from_pvals(stat, pval, sig, offsets,
+                                                  counts)
+        ri = 0
+        for T, w in slots:
+            responses[T] = (exit_e[ri:ri + w], wstat[ri:ri + w],
+                            wpval[ri:ri + w])
+            ri += w
 
     def _finish_mi(self, mi_h, responses: Dict[int, object]):
         if mi_h is not None and mi_h[3]:
@@ -708,6 +819,12 @@ class Dispatcher:
             stat, pval, df, suff = self.engine.fz_tests_finish(handle)
             offsets = np.zeros(len(counts), np.int64)
             np.cumsum(counts[:-1], out=offsets[1:])
+            if self.fast:
+                # per-candidate digests for the fast consume (float64 host
+                # semantics; bare "fz" slots below still get full arrays)
+                sig = (pval < self.alpha) & suff
+                exit_e, wstat, wpval = _digest_from_pvals(
+                    stat, pval, sig, offsets, counts)
             ri = 0
             for T, kind, w in fz_slots:
                 e0 = int(offsets[ri])
@@ -715,6 +832,9 @@ class Dispatcher:
                 if kind == "fz":
                     responses[T] = (stat[e0:e1], pval[e0:e1], df[e0:e1],
                                     suff[e0:e1])
+                elif self.fast:
+                    responses[T] = (exit_e[ri:ri + w], wstat[ri:ri + w],
+                                    wpval[ri:ri + w])
                 else:
                     responses[T] = (stat[e0:e1], pval[e0:e1], df[e0:e1],
                                     suff[e0:e1], offsets[ri:ri + w] - e0)

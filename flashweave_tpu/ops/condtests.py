@@ -42,6 +42,10 @@ BATCH_BUCKETS = (64, 256, 1024, 4096)
 # test hook: exercise the on-device digest path on the CPU mesh
 FORCE_DEV_DIGEST = False
 
+# test hook: exercise the continuous (fz_nz / on-the-fly fz) device window
+# digest on the CPU mesh
+FORCE_CONT_DEV = False
+
 # fz conditioning: largest p for which the p x p f32 correlation matrix is
 # materialized on one chip (~10.8 GB at 52000 on a 16 GB v5e); above it the
 # engine computes each batch's (B, m, m) submatrices ON THE FLY from the
@@ -495,9 +499,9 @@ def _mi_cond_scan_fn(mesh, nseg, Bloc, max_k, L, S, nz, nzu, pack2):
 
 
 @lru_cache(maxsize=16)
-def _sharded_masked_cor_fn(mesh, Bloc, m):
+def _sharded_masked_cor_fn(mesh, Bloc, m, plain=False):
     def body(data, X, Y, VI):
-        return _masked_cor_kernel(data, X, Y, VI, Bloc, m)
+        return _masked_cor_kernel(data, X, Y, VI, Bloc, m, plain)
 
     def gathered(data, X, Y, VI):
         return lax.all_gather(body(data, X, Y, VI), "d", tiled=True)
@@ -605,16 +609,155 @@ def _bucket_pow2(b: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# continuous window digest (fz_nz / on-the-fly fz): per-candidate
+# correlations + pcor DP + decision digest, all on device
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=64)
+def _cont_digest_fn(mesh, nseg, NCc, Bseg, mv, max_k, nz, on_x64):
+    """Window digest for the continuous modes, computed entirely on device.
+
+    The host-digest path fetched every candidate's (mv, mv) correlation
+    matrix (~2 KB each); at production scale those fetches dominated the
+    conditional stage over the tunneled chip (measured: fz_nz p=65k spent
+    ~90% of 533 s on masked-cor fetch + per-candidate host work).  Here
+    each scan segment computes its candidates' (masked or plain)
+    correlation submatrices, evaluates every conditioning subset's partial
+    correlation with the batched fixed-depth DP (ops/statfuns.pcor_dp --
+    the reference's memoized recursion, src/statfuns.jl:23-75, incl. the
+    1e-5 rounding), classifies by the Fisher-z log p-value, and reduces to
+    per-candidate (exit, weakest) digests -- only (3, NC) scalars cross
+    the tunnel.  f32 on TPU (documented: the recursion's compounding
+    roundings can flip tests near alpha vs the host float64 digest);
+    bit-comparable f64 under x64 parity runs."""
+    def fn(data, VI, POS, KV, counts, la, n_obs_min):
+        # data: (n, p) continuous (centered NOT required -- moments below);
+        # VI (nseg, NCc, mv) per-candidate var-lists [T, cand, Zs...];
+        # POS (nseg, Bseg, max_k) positions into the Zs part; KV sizes;
+        # counts (nseg, NCc) per-candidate test counts (padded tail rides
+        # the sink candidate NCc-1, never a real candidate)
+        n = data.shape[0]
+        fdt = la.dtype
+
+        def step(carry, seg):
+            VIs, POSs, KVs, cnt = seg
+            VIs = VIs.astype(jnp.int32)
+            # --- per-candidate correlation submatrices ---------------
+            chunk = max(64, min(n, MCOR_ROW_BUDGET // max(NCc * mv, 1)))
+
+            def moments(rows):
+                V = jnp.take(rows, VIs.reshape(-1), axis=1).reshape(
+                    rows.shape[0], NCc, mv)
+                if nz:
+                    mk = ((V[:, :, 0] != 0)
+                          & (V[:, :, 1] != 0)).astype(rows.dtype)
+                    Vm = V * mk[..., None]
+                else:
+                    mk = jnp.ones(V.shape[:2], rows.dtype)
+                    Vm = V
+                return (mk.sum(axis=0), Vm.sum(axis=0),
+                        jnp.einsum("nbi,nbj->bij", Vm, Vm,
+                                   precision=lax.Precision.HIGHEST))
+
+            if n <= chunk:
+                nob, S1, G = moments(data)
+            else:
+                n_pad = ((n + chunk - 1) // chunk) * chunk
+                dp_ = jnp.pad(data, ((0, n_pad - n), (0, 0)))
+                ch = dp_.reshape(n_pad // chunk, chunk, data.shape[1])
+
+                def body(c, rows):
+                    dn, dS, dG = moments(rows)
+                    return (c[0] + dn, c[1] + dS, c[2] + dG), None
+
+                (nob, S1, G), _ = jax.lax.scan(
+                    body, (jnp.zeros((NCc,), data.dtype),
+                           jnp.zeros((NCc, mv), data.dtype),
+                           jnp.zeros((NCc, mv, mv), data.dtype)), ch)
+            safe_n = jnp.where(nob > 0, nob, 1.0)
+            mu = S1 / safe_n[:, None]
+            cov = G - safe_n[:, None, None] * mu[:, :, None] * mu[:, None, :]
+            d = jnp.sqrt(jnp.maximum(jnp.einsum("bii->bi", cov), 0.0))
+            den = d[:, :, None] * d[:, None, :]
+            C = jnp.where(den > 0, cov / jnp.where(den > 0, den, 1.0), 0.0)
+            C = jnp.clip(C, -1.0, 1.0)
+
+            # --- per-test submatrix extraction + pcor DP -------------
+            ends = jnp.cumsum(cnt)
+            offs = ends - cnt
+            iota = jnp.arange(Bseg, dtype=jnp.int32)
+            segid = jnp.searchsorted(ends, iota,
+                                     side="right").astype(jnp.int32)
+            segid = jnp.minimum(segid, NCc - 1)
+            locidx = iota - jnp.take(offs, segid)
+            Csel = jnp.take(C.reshape(NCc, mv * mv), segid,
+                            axis=0).reshape(Bseg, mv, mv)
+            m = max_k + 2
+            karr = jnp.arange(max_k, dtype=jnp.int32)
+            KVs = KVs.astype(jnp.int32)
+            posm = jnp.where(karr[None, :] < KVs[:, None],
+                             POSs.astype(jnp.int32) + 2, 0)
+            idx = jnp.concatenate(
+                [jnp.zeros((Bseg, 1), jnp.int32),
+                 jnp.ones((Bseg, 1), jnp.int32), posm], axis=1)  # (B, m)
+            E = (idx[:, :, None]
+                 == jnp.arange(mv, dtype=jnp.int32)).astype(fdt)
+            EC = jnp.einsum("bim,bmn->bin", E, Csel)
+            sub = jnp.einsum("bin,bjn->bij", EC, E)              # (B, m, m)
+            stat = sf.pcor_dp(sub, KVs, max_k, xp=jnp)
+            nob_t = jnp.take(nob, segid)
+            logp = sf.fz_logpval(stat, nob_t, 0, xp=jnp)
+            logp = lax.optimization_barrier(
+                jnp.where(jnp.isnan(logp), 0.0, logp))
+            sig = (logp < la) & (nob_t >= n_obs_min)
+            BIG = jnp.int32(1 << 30)
+            exit_loc = jax.ops.segment_min(
+                jnp.where(sig, BIG, locidx), segid, num_segments=NCc,
+                indices_are_sorted=True)
+            exit_e = jnp.where(exit_loc >= BIG, -1, exit_loc)
+            M = jax.ops.segment_max(
+                jnp.where(sig, logp, -jnp.inf), segid, num_segments=NCc,
+                indices_are_sorted=True)
+            is_w = sig & (logp == jnp.take(M, segid))
+            w = jax.ops.segment_max(
+                jnp.where(is_w, locidx, -1), segid, num_segments=NCc,
+                indices_are_sorted=True)
+            widx = offs + jnp.clip(w, 0, None)
+            wstat = jnp.take(stat, jnp.clip(widx, 0, Bseg - 1))
+            dig = jnp.stack([exit_e.astype(fdt), wstat.astype(fdt),
+                             jnp.exp(M).astype(fdt)])       # (3, NCc)
+            return carry, dig
+
+        _, digs = lax.scan(step, 0, (VI, POS, KV, counts))
+        return digs                                    # (nseg, 3, NCc)
+
+    if mesh is None:
+        return jax.jit(fn)
+
+    # mesh: shard whole SCAN SEGMENTS over devices (each segment is a
+    # closed chunk of candidates + their tests -- embarrassingly parallel)
+    def gathered(*args):
+        return lax.all_gather(fn(*args), "d", axis=0, tiled=True)
+
+    return jax.jit(jax.shard_map(
+        gathered, mesh=mesh,
+        in_specs=(P(), P("d"), P("d"), P("d"), P("d"), P(), P()),
+        out_specs=P(), check_vma=False,
+    ))
+
+
+# ---------------------------------------------------------------------------
 # masked correlation kernel (fz_nz)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("B", "m"))
-def _masked_cor_kernel(data, X, Y, var_idx, B, m):
-    """Correlation sub-matrices over rows where X and Y are both nonzero.
+@partial(jax.jit, static_argnames=("B", "m", "plain"))
+def _masked_cor_kernel(data, X, Y, var_idx, B, m, plain=False):
+    """Correlation sub-matrices over rows where X and Y are both nonzero
+    (``plain=True``: over ALL rows -- the on-the-fly fz variant).
 
     var_idx: (B, m) column sets [X, Y, Z_total...] (padded entries repeat X).
     Returns (C, n_obs): (B, m, m) correlations (NaN -> 0, reference
-    src/statfuns.jl:150) and (B,) joint nonzero row counts.
+    src/statfuns.jl:150) and (B,) included row counts.
 
     Rows are processed in chunks via lax.scan when the gathered (n, B, m)
     tensor would exceed the VMEM-friendly working-set budget.
@@ -622,10 +765,15 @@ def _masked_cor_kernel(data, X, Y, var_idx, B, m):
     n = data.shape[0]
     chunk = max(64, min(n, MCOR_ROW_BUDGET // max(B * m, 1)))
 
-    def moments(rows):
+    def moments(rows, valid):
         x = jnp.take(rows, X, axis=1)
         y = jnp.take(rows, Y, axis=1)
-        mask = ((x != 0) & (y != 0)).astype(rows.dtype)    # (c, B)
+        if plain:
+            mask = jnp.broadcast_to(valid[:, None], x.shape).astype(
+                rows.dtype)
+        else:
+            # zero-padded scan rows fail the nonzero test automatically
+            mask = ((x != 0) & (y != 0)).astype(rows.dtype)  # (c, B)
         V = jnp.take(rows, var_idx.reshape(-1), axis=1).reshape(
             rows.shape[0], B, m
         )
@@ -638,15 +786,18 @@ def _masked_cor_kernel(data, X, Y, var_idx, B, m):
         )
 
     if n <= chunk:
-        n_obs, S1, G = moments(data)
+        n_obs, S1, G = moments(data, jnp.ones((n,), data.dtype))
     else:
         n_pad = ((n + chunk - 1) // chunk) * chunk
         data_p = jnp.pad(data, ((0, n_pad - n), (0, 0)))   # zero rows: masked out
         chunks = data_p.reshape(n_pad // chunk, chunk, data.shape[1])
+        valid = (jnp.arange(n_pad) < n).astype(data.dtype).reshape(
+            n_pad // chunk, chunk)
 
-        def body(carry, rows):
+        def body(carry, xs):
+            rows, vl = xs
             n_obs, S1, G = carry
-            dn, dS, dG = moments(rows)
+            dn, dS, dG = moments(rows, vl)
             return (n_obs + dn, S1 + dS, G + dG), None
 
         init = (
@@ -654,7 +805,7 @@ def _masked_cor_kernel(data, X, Y, var_idx, B, m):
             jnp.zeros((B, m), data.dtype),
             jnp.zeros((B, m, m), data.dtype),
         )
-        (n_obs, S1, G), _ = jax.lax.scan(body, init, chunks)
+        (n_obs, S1, G), _ = jax.lax.scan(body, init, (chunks, valid))
     safe_n = jnp.where(n_obs > 0, n_obs, 1.0)
     mu = S1 / safe_n[:, None]
     cov = G - safe_n[:, None, None] * mu[:, :, None] * mu[:, None, :]
@@ -795,6 +946,25 @@ class CondTestEngine:
 
                 self.cor_j = cor_matrix(self.data_j)
             self.cor_device = True
+        # continuous window digest ON DEVICE (fz_nz, and fz past the p x p
+        # wall): per-candidate correlations + pcor DP + decision digest all
+        # stay on device, only (3, NC) scalars cross the tunnel.  DEFAULT
+        # ON for TPU (the per-candidate matrix fetches dominated the fz_nz
+        # conditional stage at scale); off-TPU the float64 host digest is
+        # both exact and fast.  NOTE: classifies via the f32 pcor DP +
+        # log-p on TPU -- the recursion's compounding roundings can flip
+        # tests near alpha vs the host float64 digest (tolerance-model
+        # bounded; opt out with FLASHWEAVE_CONT_DEV=0).
+        self.cont_dev = False
+        if not self.discrete and max_k > 0 and (self.nz or
+                                                getattr(self, "cor_onfly",
+                                                        False)):
+            import os as _os
+
+            _env = _os.environ.get("FLASHWEAVE_CONT_DEV")
+            self.cont_dev = (
+                _env == "1" or FORCE_CONT_DEV
+                or (_env != "0" and jax.default_backend() == "tpu"))
 
     # -- discrete -----------------------------------------------------------
 
@@ -1088,14 +1258,16 @@ class CondTestEngine:
     # -- continuous ---------------------------------------------------------
 
     def masked_cor_begin(self, pairs: Sequence[Tuple[int, int]],
-                         var_lists: Sequence[Sequence[int]]):
-        """Launch masked-correlation segments asynchronously."""
+                         var_lists: Sequence[Sequence[int]],
+                         plain: bool = False):
+        """Launch masked-correlation segments asynchronously (``plain``:
+        unmasked, all rows -- the on-the-fly fz host-digest variant)."""
         handles = []
         seg_max = BATCH_BUCKETS[1]  # keep B*n*m memory bounded
         for s in range(0, len(pairs), seg_max):
             handles.append(
                 self._masked_cor_seg(pairs[s : s + seg_max],
-                                     var_lists[s : s + seg_max])
+                                     var_lists[s : s + seg_max], plain)
             )
         return handles
 
@@ -1108,13 +1280,32 @@ class CondTestEngine:
             out.extend((C[i], float(n_obs[i])) for i in range(B))
         return out
 
+    def masked_cor_finish_raw(self, handles):
+        """Segment-level finish: (C (Wtot, mv, mv) float64, n_obs (Wtot,))
+        with every segment's matrices padded to the round's max variable
+        count -- lets the dispatcher digest a whole round's fz_nz windows
+        in a handful of vectorized passes instead of per-candidate loops."""
+        mv = max(m for _, _, _, m in handles)
+        Cs, Ns = [], []
+        for dev, B, Bp, m in handles:
+            buf = np.asarray(dev, np.float64)
+            C = buf[:B, : m * m].reshape(B, m, m)
+            if m < mv:
+                Cp = np.zeros((B, mv, mv))
+                Cp[:, :m, :m] = C
+                C = Cp
+            Cs.append(C)
+            Ns.append(buf[:B, m * m])
+        return (Cs[0] if len(Cs) == 1 else np.concatenate(Cs),
+                Ns[0] if len(Ns) == 1 else np.concatenate(Ns))
+
     def masked_cor(self, pairs: Sequence[Tuple[int, int]],
                    var_lists: Sequence[Sequence[int]]):
         """Masked correlation matrices for (T, C) pairs over their variable
         subsets [T, C, Z_total...].  Returns list of (C_sub f64, n_obs)."""
         return self.masked_cor_finish(self.masked_cor_begin(pairs, var_lists))
 
-    def _masked_cor_seg(self, pairs, var_lists):
+    def _masked_cor_seg(self, pairs, var_lists, plain=False):
         B = len(pairs)
         m = _bucket_m(max(len(v) for v in var_lists))
         Bp = self._bucket(B)
@@ -1127,22 +1318,130 @@ class CondTestEngine:
             VI[i, len(vl):] = x  # pad with X; padded entries never gathered
         if self.mesh is not None:
             fn = _sharded_masked_cor_fn(self.mesh,
-                                        Bp // self.mesh.devices.size, m)
+                                        Bp // self.mesh.devices.size, m,
+                                        plain)
             out = fn(self.data_j, X, Y, VI)
         else:
-            out = _masked_cor_kernel(self.data_j, X, Y, VI, Bp, m)
+            out = _masked_cor_kernel(self.data_j, X, Y, VI, Bp, m, plain)
         return _prefetch(out), B, Bp, m
+
+    # max fz tests per device call: the on-the-fly kernel's gathered
+    # (rows, B*m) working set must stay bounded (a 4M-test mega-round
+    # overflowed the remote compiler), and the materialized gather gains
+    # nothing from bigger calls
+    FZ_CHUNK = 1 << 16
+
+    # continuous window-digest packing: candidates and their tests pack
+    # into fixed (CONT_NCC, CONT_BSEG) scan segments split at candidate
+    # boundaries; the last candidate slot is the sink for padded tests
+    CONT_NCC = 256
+    CONT_BSEG = 8192
+
+    def cont_tests_begin(self, var_lists, POS, KV, counts, alpha):
+        """Launch NC continuous candidate windows (fz_nz masked / fz plain)
+        with their conditioning-subset tests as ON-DEVICE digests
+        (_cont_digest_fn); only the per-candidate (exit, weakest) scalars
+        are fetched.  var_lists: per-candidate [T, cand] + Zs; POS (B,
+        max_k) positions into the Zs part; counts (NC,) per-candidate test
+        counts."""
+        global N_TESTS_DISPATCHED
+        Bt = len(KV)
+        N_TESTS_DISPATCHED += Bt
+        NC = len(var_lists)
+        mv = _bucket_m(max(len(v) for v in var_lists))
+        NCc, Bseg = self.CONT_NCC, self.CONT_BSEG
+        cend = np.zeros(NC + 1, np.int64)
+        np.cumsum(np.asarray(counts, np.int64), out=cend[1:])
+        # greedy segment split at candidate boundaries
+        bounds = [0]
+        c0 = 0
+        while c0 < NC:
+            c1 = min(c0 + NCc - 1, NC)
+            c1 = min(c1, int(np.searchsorted(cend, cend[c0] + Bseg,
+                                             side="right")) - 1)
+            c1 = max(c1, c0 + 1)
+            bounds.append(c1)
+            c0 = c1
+        nseg_real = len(bounds) - 1
+        ndev = 1 if self.mesh is None else self.mesh.devices.size
+        max_nseg = NSEG_BUCKETS[-2]
+        handles = []
+        for s0 in range(0, nseg_real, max_nseg):
+            segs = bounds[s0 : min(s0 + max_nseg, nseg_real) + 1]
+            handles.append(self._cont_chunk(
+                var_lists, POS, KV, counts, cend, segs, mv, NCc, Bseg,
+                ndev, alpha))
+        return handles
+
+    def _cont_chunk(self, var_lists, POS, KV, counts, cend, bounds, mv,
+                    NCc, Bseg, ndev, alpha):
+        import math as _math
+
+        ns_real = len(bounds) - 1
+        nseg = _nseg_bucket(ns_real)
+        nseg += (-nseg) % ndev
+        ddt = self._desc_dtype()
+        VIp = np.zeros((nseg, NCc, mv), ddt)
+        POSp = np.zeros((nseg, Bseg, self.max_k), np.int8)
+        KVp = np.zeros((nseg, Bseg), np.int8)
+        CNTp = np.zeros((nseg, NCc), np.int32)
+        CNTp[:, NCc - 1] = Bseg            # dummy segments: all sink
+        spans = []
+        for si in range(ns_real):
+            c0, c1 = bounds[si], bounds[si + 1]
+            nc = c1 - c0
+            for j in range(nc):
+                vl = var_lists[c0 + j]
+                VIp[si, j, : len(vl)] = vl
+            b0, b1 = int(cend[c0]), int(cend[c1])
+            POSp[si, : b1 - b0] = POS[b0:b1]
+            KVp[si, : b1 - b0] = KV[b0:b1]
+            CNTp[si, :nc] = counts[c0:c1]
+            CNTp[si, NCc - 1] = Bseg - (b1 - b0)
+            spans.append(nc)
+        fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        fn = _cont_digest_fn(self.mesh, nseg, NCc, Bseg, mv, self.max_k,
+                             self.nz, jax.config.jax_enable_x64)
+        digs = fn(self.data_j, jnp.asarray(VIp), jnp.asarray(POSp),
+                  jnp.asarray(KVp), jnp.asarray(CNTp),
+                  jnp.asarray(_math.log(alpha), fdt),
+                  jnp.asarray(float(self.n_obs_min), fdt))
+        return (_prefetch(digs), spans)
+
+    def cont_tests_finish(self, handles):
+        """(exit_e, wstat, wpval) per candidate, flat across all chunks."""
+        ex, ws, wp = [], [], []
+        for digs, spans in handles:
+            d = np.asarray(digs)                  # (nseg, 3, NCc)
+            for si, nc in enumerate(spans):
+                ex.append(d[si, 0, :nc])
+                ws.append(d[si, 1, :nc])
+                wp.append(d[si, 2, :nc])
+        return (np.concatenate(ex).astype(np.int64),
+                np.concatenate(ws).astype(np.float64),
+                np.concatenate(wp).astype(np.float64))
 
     def fz_tests_begin(self, X: np.ndarray, Y: np.ndarray, Zs: np.ndarray,
                        kvec: np.ndarray):
         """Launch B fz conditional tests against the device-resident
-        correlation matrix (submatrix gather on device; the pcor DP runs in
-        host float64 at finish); returns a handle for fz_tests_finish."""
+        correlation data (submatrix gather -- or on-the-fly Gram past the
+        p x p HBM budget -- on device; the pcor DP runs in host float64 at
+        finish); returns a handle for fz_tests_finish.  Giant mega-round
+        batches dispatch in FZ_CHUNK-test chunks (one compiled shape)."""
         global N_TESTS_DISPATCHED
         B = len(X)
         N_TESTS_DISPATCHED += B
         if self.n < self.n_obs_min:
-            return (None, B, None)
+            return [(None, B, None, None)]
+        CH = self.FZ_CHUNK
+        return [
+            self._fz_chunk(X[s:s + CH], Y[s:s + CH], Zs[s:s + CH],
+                           kvec[s:s + CH])
+            for s in range(0, B, CH)
+        ]
+
+    def _fz_chunk(self, X, Y, Zs, kvec):
+        B = len(X)
         Bp = self._bucket(B) if B <= BATCH_BUCKETS[-1] else _bucket_pow2(B)
         if self.mesh is not None:
             Bp += (-Bp) % self.mesh.devices.size
@@ -1172,15 +1471,18 @@ class CondTestEngine:
         src/tests.jl:250-265 -- df 0, suff is the run-level n_obs check).
         The pcor recursion runs here in float64 incl. the reference's 1e-5
         rounding (src/statfuns.jl:39,51)."""
-        if handle[0] is None:          # run-level n_obs_min failure
-            B = handle[1]
+        if handle[0][0] is None:       # run-level n_obs_min failure
+            B = handle[0][1]
             return (np.zeros(B), np.ones(B), np.zeros(B, np.int64),
                     np.zeros(B, bool))
-        out, B, Bp, kvec = handle
-        sub = np.asarray(out).astype(np.float64)[:B]
-        kp = np.zeros(B, np.int64); kp[:] = kvec[:B]
-        stat = sf.pcor_dp(sub, kp, self.max_k, xp=np)
+        stats = []
+        for out, B, Bp, kvec in handle:
+            sub = np.asarray(out).astype(np.float64)[:B]
+            kp = np.zeros(B, np.int64); kp[:] = kvec[:B]
+            stats.append(sf.pcor_dp(sub, kp, self.max_k, xp=np))
+        stat = stats[0] if len(stats) == 1 else np.concatenate(stats)
         pval = np.asarray(sf.fz_pval(stat, self.n, 0))
+        B = len(stat)
         return stat, pval, np.zeros(B, np.int64), np.ones(B, bool)
 
     def fz_tests_raw(self, X, Y, Zs, kvec):

@@ -202,6 +202,48 @@ def pair_ctab_planes_pallas(data, start, tile, L, y_start=0, y_len=None):
     return mi_pair_ctabs(block, yslab, L=L)
 
 
+def _make_mi_stats_kernel_dbuf(L, nz, hps, n_obs_min, n_rows):
+    """Double-buffered variant of :func:`_make_mi_stats_kernel`: consecutive
+    output blocks alternate between two VMEM accumulator banks, removing
+    the read-after-write dependency between block t's epilogue and block
+    t+1's first dot so Mosaic may overlap the VPU epilogue with the next
+    block's MXU work (round-5 attempt at the 84% -> 88%-of-dot-only gap)."""
+    K = L - 1
+
+    def kernel(at_ref, b_ref, mx_ref, my_ref, lx_ref, ly_ref, mvx_ref,
+               mvy_ref, stat_ref, df_ref, nobs_ref, suff_ref, acc_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        k = pl.program_id(2)
+        buf = (i * pl.num_programs(1) + j) % 2
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[buf] = jnp.zeros_like(acc_ref[buf])
+
+        at = at_ref[:].astype(jnp.float32)  # (tx, tn)
+        b = b_ref[:].astype(jnp.float32)    # (tn, ty)
+        ebs = [(b == lv).astype(jnp.int8) for lv in range(1, L)]
+        for ia in range(K):
+            ea = (at == ia + 1).astype(jnp.int8)
+            for ib in range(K):
+                acc_ref[buf, ia * K + ib, :, :] += jax.lax.dot_general(
+                    ea, ebs[ib], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+
+        @pl.when(k == pl.num_programs(2) - 1)
+        def _():
+            _mi_epilogue(
+                lambda ia, ib: acc_ref[buf, (ia - 1) * K + (ib - 1), :, :],
+                mx_ref, my_ref, lx_ref, ly_ref, mvx_ref, mvy_ref,
+                stat_ref, df_ref, nobs_ref, suff_ref,
+                L, nz, hps, n_obs_min, n_rows,
+            )
+
+    return kernel
+
+
 def _make_mi_stats_kernel(L, nz, hps, n_obs_min, n_rows):
     """Fused univariate kernel: int8 one-hot contingency matmuls accumulate
     in a VMEM scratch; at the final row-chunk the full G-test statistic
@@ -424,10 +466,11 @@ def level_marginals(data, L):
 
 @partial(jax.jit,
          static_argnames=("tile", "L", "y_len", "nz", "hps", "n_obs_min",
-                          "tx", "ty", "tn"))
+                          "tx", "ty", "tn", "dbuf"))
 def mi_univar_stats_pallas(dataT, data, marg, levels, max_vals, start, tile,
                            L, y_start=0, y_len=None, nz=True, hps=5.0,
-                           n_obs_min=0.0, tx=None, ty=128, tn=None):
+                           n_obs_min=0.0, tx=None, ty=128, tn=None,
+                           dbuf=False):
     """Fully fused univariate MI stats of an X-block against a Y-slab:
     returns (stat f32, df i32, n_obs i32, suff_power bool), each
     (tile, y_len), without materializing contingency tables in HBM.
@@ -467,10 +510,16 @@ def mi_univar_stats_pallas(dataT, data, marg, levels, max_vals, start, tile,
     pb = b.shape[1]
     grid = (pa // tx, pb // ty, nr // tn)
     Ksq = max(1, (L - 1) * (L - 1))
-    scratch = [pltpu.VMEM((Ksq, tx, ty), jnp.int32)]
+    if dbuf:
+        scratch = [pltpu.VMEM((2, Ksq, tx, ty), jnp.int32)]
+        kernel = _make_mi_stats_kernel_dbuf(L, nz, float(hps),
+                                            float(n_obs_min), n)
+    else:
+        scratch = [pltpu.VMEM((Ksq, tx, ty), jnp.int32)]
+        kernel = _make_mi_stats_kernel(L, nz, float(hps), float(n_obs_min), n)
     res_spec = pl.BlockSpec((tx, ty), lambda i, j, k: (i, j))
     stat, df, nobs, suff = pl.pallas_call(
-        _make_mi_stats_kernel(L, nz, float(hps), float(n_obs_min), n),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tx, tn), lambda i, j, k: (i, k)),

@@ -339,3 +339,40 @@ def test_fz_onfly_cor_matches_materialized(norm_data, monkeypatch):
     e_onf = sorted((u, v) for u, v, _ in g_onf.edges())
     e_mat = sorted((u, v) for u, v, _ in g_mat.edges())
     assert e_onf == e_mat
+
+
+def test_cont_device_digest_matches_host(norm_data, monkeypatch):
+    """The continuous ON-DEVICE window digest (fz_nz masked / on-the-fly fz
+    plain correlations + pcor DP + decision digest, round-5) must reproduce
+    the float64 host-digest networks exactly under x64."""
+    from flashweave_tpu.learning.lgl import LGL
+    from flashweave_tpu.ops import condtests as ct
+
+    def edges(g):
+        return sorted((u, v, w) for u, v, w in g.edges())
+
+    kw = dict(max_k=3, parallel="multi_il", time_limit=0.0,
+              convergence_threshold=0.0, feed_forward=False, verbose=False,
+              n_obs_min=20)
+    # fz_nz: masked per-pair correlations
+    data = np.asarray(norm_data["fz_nz"])
+    g_host = LGL(data, test_name="fz_nz", **kw).graph
+    monkeypatch.setattr(ct, "FORCE_CONT_DEV", True)
+    g_dev = LGL(data, test_name="fz_nz", **kw).graph
+    e_h, e_d = edges(g_host), edges(g_dev)
+    assert [(u, v) for u, v, _ in e_h] == [(u, v) for u, v, _ in e_d]
+    np.testing.assert_allclose([w for _, _, w in e_h],
+                               [w for _, _, w in e_d], rtol=1e-9)
+
+    # fz past the p x p wall: plain on-the-fly correlations through the
+    # same device digest, vs the materialized-matrix host path
+    cont = np.asarray(norm_data["fz"])
+    monkeypatch.setattr(ct, "FORCE_CONT_DEV", False)
+    g_mat = LGL(cont, test_name="fz", **kw).graph
+    monkeypatch.setattr(ct, "FORCE_COR_ONFLY", True)
+    monkeypatch.setattr(ct, "FORCE_CONT_DEV", True)
+    g_onf = LGL(cont, test_name="fz", **kw).graph
+    e_m, e_o = edges(g_mat), edges(g_onf)
+    assert [(u, v) for u, v, _ in e_m] == [(u, v) for u, v, _ in e_o]
+    np.testing.assert_allclose([w for _, _, w in e_m],
+                               [w for _, _, w in e_o], rtol=1e-7)

@@ -718,3 +718,22 @@ def test_turbo_mxu_matches_histogram(test_name, monkeypatch):
     assert [(u, v) for u, v, _ in e1] == [(u, v) for u, v, _ in e2]
     np.testing.assert_allclose([w for _, _, w in e1],
                                [w for _, _, w in e2], rtol=1e-12)
+
+
+@requires_reference_data
+@pytest.mark.parametrize("test_name", ["fz", "fz_nz"])
+def test_continuous_fast_windows_match_single(hmp_small, test_name):
+    """The continuous modes ride the fast window digests since round 5
+    (round-level vectorized float64 scans in the dispatcher, replacing
+    per-candidate host consumes).  Speculative windows are semantics-free,
+    so with feed-forward off the multi_il network must reproduce the
+    sequential single-target path's decisions exactly."""
+    g_single = make_network(hmp_small, test_name, max_k=3, parallel="single",
+                            time_limit=0.0, n_obs_min=-1)
+    g_il = make_network(hmp_small, test_name, max_k=3, parallel="multi_il",
+                        time_limit=0.0, convergence_threshold=0.0,
+                        feed_forward=False, n_obs_min=-1)
+    e_s, e_i = _edge_list(g_single), _edge_list(g_il)
+    assert [(u, v) for u, v, _ in e_s] == [(u, v) for u, v, _ in e_i]
+    np.testing.assert_allclose([w for _, _, w in e_s],
+                               [w for _, _, w in e_i], rtol=1e-9)
