@@ -207,7 +207,15 @@ def _make_mi_stats_kernel_dbuf(L, nz, hps, n_obs_min, n_rows):
     output blocks alternate between two VMEM accumulator banks, removing
     the read-after-write dependency between block t's epilogue and block
     t+1's first dot so Mosaic may overlap the VPU epilogue with the next
-    block's MXU work (round-5 attempt at the 84% -> 88%-of-dot-only gap)."""
+    block's MXU work (round-5 attempt at the 84% -> 88%-of-dot-only gap).
+
+    Measured on v5e (chained timer, n=p=8192, interleaved warm repeats):
+    14.19-14.30 ms/sweep vs the single-bank kernel's 14.30-14.40 -- a
+    consistent but marginal ~0.7% win (2.35e9 vs 2.34e9 tests/s), exact to
+    the bit.  The epilogue was already mostly hidden by Mosaic's grid
+    pipelining; the residual ~16% gap to dot-only is revisit/bubble
+    overhead, not epilogue serialization (see PERF.md round-5 ablation).
+    Default-on since it never loses."""
     K = L - 1
 
     def kernel(at_ref, b_ref, mx_ref, my_ref, lx_ref, ly_ref, mvx_ref,
@@ -470,7 +478,7 @@ def level_marginals(data, L):
 def mi_univar_stats_pallas(dataT, data, marg, levels, max_vals, start, tile,
                            L, y_start=0, y_len=None, nz=True, hps=5.0,
                            n_obs_min=0.0, tx=None, ty=128, tn=None,
-                           dbuf=False):
+                           dbuf=True):
     """Fully fused univariate MI stats of an X-block against a Y-slab:
     returns (stat f32, df i32, n_obs i32, suff_power bool), each
     (tile, y_len), without materializing contingency tables in HBM.

@@ -40,9 +40,10 @@ def test_mi_ctabs_match_xla(synth):
     np.testing.assert_array_equal(got, np.asarray(ct_x, dtype=np.float32))
 
 
+@pytest.mark.parametrize("dbuf", [True, False])
 @pytest.mark.parametrize("nz", [True, False])
 @pytest.mark.parametrize("block", [(0, 250, 0, 250), (25, 125, 100, 150)])
-def test_fused_mi_stats_match_xla(synth, nz, block):
+def test_fused_mi_stats_match_xla(synth, nz, block, dbuf):
     """The fully fused univariate kernel (4-dot joint counts + marginal
     reconstruction + in-VMEM G-test epilogue) must reproduce the XLA
     ctab+stats pipeline bit-for-bit on counts/df/suff and to f32 tolerance
@@ -63,7 +64,7 @@ def test_fused_mi_stats_match_xla(synth, nz, block):
     s, tile, ys, ylen = block
     st, df, no, sp = pk.mi_univar_stats_pallas(
         dj.T, dj, marg, levels, maxv, s, tile, L, ys, ylen, nz, 5.0, 20.0,
-        tx=128, ty=128, tn=256,
+        tx=128, ty=128, tn=256, dbuf=dbuf,
     )
     ctab = pair_ctab_block(dj, s, tile, L, ys, ylen)
     st2, df2, no2, sp2 = mi_block_stats(
