@@ -11,6 +11,9 @@ and unfinished states (src/io.jl:97: "parameters ... are only available when
 loading from JLD2"), and key-addressed binary data tables
 (src/io.jl:119-148) -- is filled by NumPy `.npz` archives with the same
 default keys ('otu_data', 'otu_header', 'meta_data', 'meta_header').
+Existing JLD2 *data* files additionally load directly (read-only interop:
+:func:`load_jld2_data` decodes the dense/string/SparseMatrixCSC layouts the
+reference fixtures use via h5py -- JLD2 is valid HDF5).
 
 All of this is host-side Python; indices written to disk are 1-based for
 interoperability with reference outputs (internal node ids are 0-based).
@@ -28,7 +31,7 @@ import numpy as np
 from .types import FWResult, Graph, HitonState, LGLResult, TestResult
 
 VALID_NET_FORMATS = (".edgelist", ".gml", ".npz")
-VALID_DATA_FORMATS = (".tsv", ".csv", ".biom", ".npz")
+VALID_DATA_FORMATS = (".tsv", ".csv", ".biom", ".npz", ".jld2")
 VALID_DLM_FORMATS = (".tsv", ".csv")
 
 
@@ -267,6 +270,84 @@ def save_npz_data(data_path: str, data, header, meta_data=None,
     np.savez_compressed(data_path, **payload)
 
 
+def _jld2_decode(f, obj, make_sparse: bool):
+    """Decode one JLD2 dataset into a Python value.
+
+    JLD2 files are valid HDF5; the subset the reference's data files use
+    (reference: src/io.jl:119-148 reads them with FileIO/JLD2) maps cleanly:
+
+    - dense numeric arrays: stored column-major by Julia, so the HDF5 dims
+      are the REVERSE of the Julia logical shape -> transpose to recover it;
+    - string vectors: variable-length strings (bytes under h5py) -> str;
+    - SparseMatrixCSC: a scalar dataset of a compound type with fields
+      (m, n, colptr, rowval, nzval) whose array fields are HDF5 object
+      references; Julia indices are 1-based.
+    """
+    import h5py
+
+    val = obj[()]
+    dt = obj.dtype
+    if dt.names and {"m", "n", "colptr", "rowval", "nzval"} <= set(dt.names):
+        from scipy.sparse import csc_matrix
+
+        rec = val if val.shape == () else val[()]
+        deref = {
+            k: (f[rec[k]][()] if isinstance(rec[k], h5py.h5r.Reference)
+                else np.asarray(rec[k]))
+            for k in ("colptr", "rowval", "nzval")
+        }
+        mat = csc_matrix(
+            (deref["nzval"], deref["rowval"] - 1, deref["colptr"] - 1),
+            shape=(int(rec["m"]), int(rec["n"])),
+        )
+        if make_sparse:
+            return mat.tocsr().astype(np.float64)
+        return mat.toarray().astype(np.float64)
+    if dt.kind == "O":
+        return [v.decode() if isinstance(v, bytes) else str(v)
+                for v in np.asarray(val).ravel()]
+    arr = np.asarray(val)
+    return arr.T if arr.ndim == 2 else arr
+
+
+def load_jld2_data(data_path: str, otu_data_key: str = "otu_data",
+                   otu_header_key: str = "otu_header",
+                   meta_data_key: Optional[str] = "meta_data",
+                   meta_header_key: Optional[str] = "meta_header",
+                   transposed: bool = False, make_sparse: bool = False):
+    """Reader for the reference's (deprecated) JLD2 binary data tables
+    (reference: src/io.jl:119-148; same default keys and missing-key
+    errors).  Covers the dense, string-vector and SparseMatrixCSC layouts
+    its fixtures use; network-result JLD2 files (serialized Julia structs,
+    src/io.jl:107-111) are out of scope -- the npz format is this
+    package's lossless network round-trip."""
+    import h5py
+
+    with h5py.File(data_path, "r") as f:
+        for key, desc in ((otu_data_key, "otu_data_key"),
+                          (otu_header_key, "otu_header_key")):
+            if key is None or key not in f:
+                raise KeyError(
+                    f"key '{key}' not found in input file. Please provide "
+                    f"the appropriate {desc}. Keys present: "
+                    f"{', '.join(f.keys())}"
+                )
+        data = _jld2_decode(f, f[otu_data_key], make_sparse)
+        header = [str(h) for h in _jld2_decode(f, f[otu_header_key], False)]
+        meta_data = meta_header = None
+        if meta_data_key is not None and meta_data_key in f:
+            meta_data = _jld2_decode(f, f[meta_data_key], False)
+        if meta_header_key is not None and meta_header_key in f:
+            meta_header = [
+                str(h) for h in _jld2_decode(f, f[meta_header_key], False)
+            ]
+    if transposed:
+        data = data.T
+        if meta_data is not None:
+            meta_data = meta_data.T
+    return data, header, meta_data, meta_header
+
+
 def load_data(data_path: str, meta_data_path: Optional[str] = None,
               transposed: bool = False, otu_data_key: str = "otu_data",
               otu_header_key: str = "otu_header",
@@ -281,11 +362,11 @@ def load_data(data_path: str, meta_data_path: Optional[str] = None,
     if transposed and ext == ".biom":
         warnings.warn("'transposed' cannot be used with .biom files")
     if meta_data_path is not None:
-        if ext == ".npz":
+        if ext in (".npz", ".jld2"):
             raise ValueError(
-                "npz format not compatible with external meta data files, "
-                "please add meta data directly to the npz file (default key: "
-                "'meta_data')"
+                f"{ext[1:]} format not compatible with external meta data "
+                "files, please add meta data directly to the file (default "
+                "key: 'meta_data')"
             )
         mext = _ext(meta_data_path)
         if mext not in VALID_DLM_FORMATS:
@@ -302,6 +383,15 @@ def load_data(data_path: str, meta_data_path: Optional[str] = None,
             data_path, otu_data_key=otu_data_key,
             otu_header_key=otu_header_key, meta_data_key=meta_data_key,
             meta_header_key=meta_header_key, transposed=transposed,
+        )
+    if ext == ".jld2":
+        warnings.warn("jld2 support is deprecated (read-only interop with "
+                      "reference data files); prefer npz")
+        return load_jld2_data(
+            data_path, otu_data_key=otu_data_key,
+            otu_header_key=otu_header_key, meta_data_key=meta_data_key,
+            meta_header_key=meta_header_key, transposed=transposed,
+            make_sparse=make_sparse,
         )
     raise ValueError(
         f"{ext} not a valid input format. Choose one of {VALID_DATA_FORMATS}"

@@ -194,6 +194,68 @@ def test_numeric_ids(tiny_expected):
 
 
 @requires_reference_data
+def test_jld2_table_data(tiny_expected):
+    """Read-only JLD2 interop: the reference's own (skipped) test matrix
+    pairs HMP_SRA_gut_tiny_plus_meta.jld2 with the tsv-loaded tuple
+    (reference: test/io.jl:85-100; loader src/io.jl:119-148).  The file
+    stores otu_data as a Julia SparseMatrixCSC compound and meta as a dense
+    int matrix -- both layouts must decode to the exact tsv values."""
+    data, header, meta_data, meta_header = tiny_expected
+    with pytest.warns(UserWarning, match="deprecated"):
+        d, h, md, mh = fio.load_data(
+            reference_data_path("HMP_SRA_gut", "HMP_SRA_gut_tiny_plus_meta.jld2")
+        )
+    np.testing.assert_array_equal(np.asarray(d, dtype=np.float64), data)
+    assert h == header
+    np.testing.assert_array_equal(np.asarray(md, dtype=np.float64), meta_data)
+    assert mh == meta_header
+
+
+@requires_reference_data
+def test_jld2_transposed_and_sparse(tiny_expected):
+    # reference: test/io.jl:107-124 (transposed variant, dense layout)
+    from scipy import sparse as sp
+
+    data, header, meta_data, meta_header = tiny_expected
+    with pytest.warns(UserWarning, match="deprecated"):
+        d, h, md, mh = fio.load_data(
+            reference_data_path(
+                "HMP_SRA_gut", "HMP_SRA_gut_tiny_plus_meta_transposed.jld2"),
+            transposed=True,
+        )
+    np.testing.assert_array_equal(np.asarray(d, dtype=np.float64), data)
+    assert h == header
+    np.testing.assert_array_equal(np.asarray(md, dtype=np.float64), meta_data)
+    assert mh == meta_header
+    # make_sparse keeps the on-disk CSC structure as scipy.sparse
+    with pytest.warns(UserWarning, match="deprecated"):
+        ds, hs, _, _ = fio.load_data(
+            reference_data_path(
+                "HMP_SRA_gut", "HMP_SRA_gut_tiny_plus_meta.jld2"),
+            make_sparse=True,
+        )
+    assert sp.issparse(ds)
+    np.testing.assert_array_equal(np.asarray(ds.todense()), data)
+    assert hs == header
+
+
+@requires_reference_data
+def test_jld2_missing_key_and_meta_path_errors(tmp_path):
+    with pytest.raises(KeyError, match="otu_data_key"):
+        fio.load_jld2_data(
+            reference_data_path(
+                "HMP_SRA_gut", "HMP_SRA_gut_tiny_plus_meta.jld2"),
+            otu_data_key="no_such_key",
+        )
+    with pytest.raises(ValueError, match="not compatible with external"):
+        fio.load_data(
+            reference_data_path(
+                "HMP_SRA_gut", "HMP_SRA_gut_tiny_plus_meta.jld2"),
+            meta_data_path=str(tmp_path / "meta.tsv"),
+        )
+
+
+@requires_reference_data
 @pytest.mark.parametrize("data_suff", ["_json.biom", "_hdf5.biom"])
 def test_biom_sparse_loading(tiny_expected, data_suff):
     """make_sparse keeps .biom tables as scipy.sparse with identical values
