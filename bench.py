@@ -43,33 +43,57 @@ REFERENCE_DATA = "/root/reference/test/data"
 
 
 def device_loop_time(fn, x, iters=10):
-    """Mean per-iteration wall time of fn(x) with iteration-chained
-    dependencies executed in one jitted loop."""
+    """Per-iteration device time of fn(x) with iteration-chained
+    dependencies executed in one jitted loop, measured as the SLOPE between
+    an ``iters``-iteration and a ``3*iters``-iteration loop.
+
+    The slope cancels the fixed dispatch+scalar-fetch round trip exactly
+    (~30 ms over the axon tunnel, measured: a 1024^3-matmul loop takes the
+    same ~31 ms wall at 10 AND at 400 iterations) -- a single-loop
+    measurement would silently fold fixed/iters into every per-iteration
+    number (~10-20% at 10 iterations x 30 ms of real work, 50x for
+    microsecond kernels)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    @jax.jit
-    def loop(x):
-        def body(i, carry):
-            x, acc = carry
-            out = fn(x)
-            # consume EVERY output element in the chained scalar -- reducing
-            # only out[0] lets XLA dead-code-eliminate all other blocks and
-            # silently benchmarks a fraction of the sweep
-            s = sum(
-                leaf.sum().astype(jnp.float32)
-                for leaf in jax.tree_util.tree_leaves(out)
-            )
-            return (x + (0.0 * s).astype(x.dtype), acc + s)
+    def make_loop(n):
+        @jax.jit
+        def loop(x):
+            def body(i, carry):
+                x, acc = carry
+                out = fn(x)
+                # consume EVERY output element in the chained scalar --
+                # reducing only out[0] lets XLA dead-code-eliminate all other
+                # blocks and silently benchmarks a fraction of the sweep
+                s = sum(
+                    leaf.sum().astype(jnp.float32)
+                    for leaf in jax.tree_util.tree_leaves(out)
+                )
+                return (x + (0.0 * s).astype(x.dtype), acc + s)
 
-        _, acc = lax.fori_loop(0, iters, body, (x, jnp.float32(0.0)))
-        return acc
+            _, acc = lax.fori_loop(0, n, body, (x, jnp.float32(0.0)))
+            return acc
 
-    float(loop(x))  # compile + warm
-    t0 = time.perf_counter()
-    float(loop(x))
-    return (time.perf_counter() - t0) / iters
+        return loop
+
+    def timed(n):
+        loop = make_loop(n)
+        float(loop(x))  # compile + warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(loop(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    tA = timed(iters)
+    tB = timed(3 * iters)
+    if tB > tA:
+        return (tB - tA) / (2 * iters)
+    # timing noise exceeded the device work: fall back to the conservative
+    # single-loop mean (upper bound; includes the fixed round trip)
+    return tB / (3 * iters)
 
 
 def univar_bench(n=8192, p=8192, L=3):
@@ -148,31 +172,43 @@ def univar_bench(n=8192, p=8192, L=3):
 
 def tunnel_health_probe():
     """Self-identifying tunnel-health flag (round-5 judge item: a degraded
-    tunnel-service run must not masquerade as a regression).  Two numbers:
+    tunnel-service run must not masquerade as a regression).  Three numbers
+    (nominals measured on this tunnel 2026-08, see PERF.md):
 
-    - probe_device_ms: chained-timer time of a fixed 1024^3 bf16 matmul --
-      pure device truth (~0.03 ms on a healthy v5e; analytic bf16 floor
-      ~0.022 ms).  >5x the nominal -> the DEVICE side is degraded.
-    - probe_roundtrip_ms: mean wall time of 5 sequential dispatch+fetch
-      cycles (~100 ms nominal over the axon tunnel).  >4x nominal -> the
-      tunnel service is degraded and every wall-clock number in this run
-      is suspect.
+    - probe_device_ms: chained-timer SLOPE of a 2048^3 bf16 matmul loop --
+      pure device truth, fixed dispatch cost cancelled.  Healthy v5e:
+      ~0.095 ms (92% of the 0.087 ms bf16 analytic floor).  >0.4 ms (4x)
+      -> the DEVICE side is degraded.
+    - probe_dispatch_ms: wall time of one dispatch + scalar-fetch cycle
+      (~25-35 ms nominal over the axon tunnel).  >300 ms -> every
+      host-clocked stage in this run carries inflated per-round costs.
+    - probe_roundtrip_ms: mean wall of 5 dispatch + 4 MB-fetch cycles
+      (~100 ms nominal, download-bandwidth-bound).  >400 ms -> transfers
+      are degraded.
     """
     import jax
     import jax.numpy as jnp
 
+    a2 = jnp.ones((2048, 2048), jnp.bfloat16)
+    f2 = jax.jit(lambda x: (x @ x).astype(jnp.bfloat16))
+    dev_ms = device_loop_time(lambda x: f2(x).astype(jnp.float32), a2,
+                              iters=50) * 1e3
+    s = jax.jit(lambda x: x.sum())
+    float(s(a2))                           # warm the scalar path
+    t0 = time.perf_counter()
+    float(s(a2))
+    disp_ms = (time.perf_counter() - t0) * 1e3
     a = jnp.ones((1024, 1024), jnp.bfloat16)
     f = jax.jit(lambda x: (x @ x).astype(jnp.bfloat16))
-    dev_ms = device_loop_time(lambda x: f(x).astype(jnp.float32), a,
-                              iters=20) * 1e3
     np.asarray(f(a))                       # warm the fetch path
     t0 = time.perf_counter()
     for _ in range(5):
         float(np.asarray(f(a))[0, 0])
     rt_ms = (time.perf_counter() - t0) / 5 * 1e3
-    degraded = bool(dev_ms > 0.15 or rt_ms > 400.0)
+    degraded = bool(dev_ms > 0.4 or disp_ms > 300.0 or rt_ms > 400.0)
     return {
         "probe_device_ms": round(dev_ms, 4),
+        "probe_dispatch_ms": round(disp_ms, 1),
         "probe_roundtrip_ms": round(rt_ms, 1),
         "tunnel_degraded": degraded,
     }
@@ -206,8 +242,8 @@ def cond_device_rate_bench(n=2048, p=4096, m=8):
     cands = rng.integers(0, p, (W, m))
     eng.turbo_tests_finish(eng.turbo_tests_begin(m, Ts, cands, 0.01, tpl))
     dev = eng._turbo_dev_cache[m]
-    Wc = 8
-    nseg = W // Wc
+    Wc = 4          # the measured per-m optimum production uses (condtests
+    nseg = W // Wc  # turbo_tests_begin _WC_BEST; m=8 -> Wc=4)
     fn = _turbo_digest_fn(None, nseg, Wc, m, 3, 3, 27, True, True, NC, B, U,
                           108, jax.default_backend() == "tpu")
     la = jnp.asarray(math.log(0.01),

@@ -1148,10 +1148,19 @@ class CondTestEngine:
                    jnp.asarray(Esel), jnp.asarray(bias))
             self._turbo_dev_cache[m] = dev
         ndev = 1 if self.mesh is None else self.mesh.devices.size
-        # window-chunk size bounded by the (n, Wc, U*S) plane working set
+        # window-chunk size: measured per-m optimum (v5e, n=2048, chained
+        # slope timer, 2026-08 sweep over Wc in {1..64} -- see PERF.md
+        # "round-5 Wc sweep").  The landscape is shape-lottery territory
+        # (non-monotonic: m=8 runs 8.9/7.7/11.4/6.6/6.7 M tests/s at
+        # Wc=1/2/4/8/16) so a working-set formula CANNOT recover it; the
+        # former formula left 1.7-2.1x on the table at m in {4,6,8,9}.
+        _WC_BEST = {2: 64, 3: 64, 4: 32, 5: 16, 6: 4, 7: 8, 8: 4, 9: 4,
+                    10: 2}
+        # (n, Wc, U*S) plane working-set cap still bounds HBM temporaries
+        # for sample counts beyond the measured n=2048 regime
         per_w = max(self.n * U * S, 1)
-        Wc = max(1, 1 << max(0, ((1 << 26) // per_w).bit_length() - 1))
-        Wc = min(Wc, 64)
+        cap = max(1, 1 << max(0, ((1 << 26) // per_w).bit_length() - 1))
+        Wc = min(_WC_BEST.get(m, cap), cap, 64)
         Wc = max(Wc, ndev)
         handles = []
         step = Wc * NSEG_BUCKETS[-2]          # cap nseg per dispatch at 512
